@@ -1,0 +1,111 @@
+"""Benchmark: EgoNN forward throughput (point clouds / sec / chip) on TPU.
+
+Measures the full inference hot path — device-side polar quantization + voxel
+dedup + coordinate pyramid + sparse trunk + global & local heads — on synthetic
+LiDAR-scale clouds (batch 8 x 65k points, 16k voxel capacity: MulRan-like after
+ground removal).
+
+Baseline: the reference (MinkowskiEngine 0.5.4 EgoNN on a V100) is not runnable
+here and publishes no throughput; BASELINE.json's north-star asks for >= 5x it.
+We use 50 clouds/sec as the assumed V100 reference throughput (typical for
+ME sparse models of this size at ~15-30k voxels; recorded assumption, revisit
+when a measured number exists).  vs_baseline = measured / 50.
+
+Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+ASSUMED_V100_BASELINE_CLOUDS_PER_SEC = 50.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from egonn_tpu.models.factory import create_egonn_model
+    from egonn_tpu.ops.quantization import PolarQuantizer
+    from egonn_tpu.sparse.pyramid import build_pyramid
+
+    b = 8
+    num_points = 65536
+    cap0 = 16384
+
+    class MP:
+        model = "egonn"
+        quantizer = PolarQuantizer([1.0, 0.3, 0.2])
+        cap0 = 16384
+
+    built = create_egonn_model(MP(), cap0=cap0)
+    model, quantizer, spec = built.model, built.quantizer, built.pyramid_spec
+
+    rng = np.random.default_rng(0)
+    theta = rng.uniform(0, 2 * np.pi, (b, num_points))
+    r = np.abs(rng.normal(25, 18, (b, num_points))).clip(2, 80)
+    z = rng.uniform(-1, 10, (b, num_points))
+    clouds = jnp.asarray(
+        np.stack([r * np.cos(theta), r * np.sin(theta), z], -1).astype(np.float32)
+    )
+    mask = jnp.ones((b, num_points), bool)
+
+    def mk_pyr(c, m):
+        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0]))(c, m)
+        return build_pyramid(res.coords_t, res.mask, spec)
+
+    pyr = jax.jit(mk_pyr)(clouds, mask)
+    variables = jax.jit(lambda k, p: model.init(k, p, quantizer, train=False))(
+        jax.random.PRNGKey(0), pyr
+    )
+
+    @jax.jit
+    def forward(variables, clouds, mask):
+        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0]))(
+            clouds, mask
+        )
+        p = build_pyramid(res.coords_t, res.mask, spec)
+        y = model.apply(variables, p, quantizer, train=False)
+        return y["global"], y["sigma"]
+
+    # warmup / compile
+    out = forward(variables, clouds, mask)
+    jax.block_until_ready(out)
+
+    # NOTE: inputs must VARY per iteration — identical executions can be deduped
+    # by the runtime and report fantasy throughput.
+    iters = 8
+    variants = [
+        jnp.asarray(np.asarray(clouds) + rng.normal(0, 0.01, clouds.shape).astype(np.float32))
+        for _ in range(iters)
+    ]
+    jax.block_until_ready(variants)
+    t0 = time.perf_counter()
+    for v in variants:
+        out = forward(variables, v, mask)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    clouds_per_sec = b / dt
+    print(
+        json.dumps(
+            {
+                "metric": "point clouds/sec/chip (EgoNN forward, 65k pts, 16k voxels)",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/s",
+                "vs_baseline": round(clouds_per_sec / ASSUMED_V100_BASELINE_CLOUDS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Evaluation: global retrieval (Recall@N) + local 6DoF registration metrics.
+
+Protocol parity with the reference eval/evaluate.py (jac99/Egonn):
+
+* Evaluator (global-only, reference :28-116): compute map+query global
+  descriptors, nearest-neighbor search, Recall@N for radii (default 5, 20 m) and
+  N in 1..k, plus recall@1%.
+* GLEvaluator (reference :137-306 MinkLocGLEvaluator): additionally, for each
+  query whose ground-truth distance to the top-1 retrieved map element is <= 20 m
+  (:192), run 6DoF RANSAC registration on the top n_k keypoints (selected by
+  LOWEST sigma, :352-361), compute keypoint repeatability (matched <= 0.5 m after
+  the GT transform, :402-411), RRE / RTE vs the (optionally ICP-refined) GT, and
+  success = RTE <= 2 m AND RRE <= 5 deg (:245-258).  With icp_refine the ICP
+  refines the GROUND TRUTH pose, not the estimate (:216-236).
+
+TPU-native differences: embeddings are computed in fixed-size batches on device
+(quantize -> pyramid -> model in one jit); retrieval is one device matmul + top-k;
+RANSAC is the batched device kernel (ops/ransac.py) vmapped over queries instead
+of per-pair Open3D C++ calls.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egonn_tpu.data.base import EvaluationSet, get_pointcloud_loader
+from egonn_tpu.data.pipeline import pad_cloud
+from egonn_tpu.models.factory import BuiltModel
+from egonn_tpu.ops.geometry import (
+    kitti_relative_pose,
+    mulran_relative_pose,
+    relative_pose,
+    rotation_error_deg,
+)
+from egonn_tpu.ops.ransac import ransac_6dof
+from egonn_tpu.sparse.pyramid import build_pyramid
+
+
+class Evaluator:
+    """Global-descriptor-only evaluator (reference eval/evaluate.py:28-116)."""
+
+    def __init__(self, dataset_root: str, dataset_type: str, eval_set_pickle: str,
+                 built: BuiltModel, num_points: int = 65536, batch_size: int = 8,
+                 radius=(5, 20), k: int = 50, debug: bool = False):
+        self.dataset_root = dataset_root
+        self.dataset_type = dataset_type
+        self.built = built
+        self.num_points = num_points
+        self.batch_size = batch_size
+        self.radius = radius
+        self.k = k
+        self.eval_set = EvaluationSet()
+        import os
+
+        self.eval_set.load(os.path.join(dataset_root, eval_set_pickle))
+        if debug:
+            self.eval_set.map_set = self.eval_set.map_set[:4]
+            self.eval_set.query_set = self.eval_set.query_set[:4]
+        self.pc_loader = get_pointcloud_loader(dataset_type)
+        self._forward = None
+
+    # ---------- embedding computation ----------
+
+    def _make_forward(self, with_local: bool):
+        model, quantizer, spec = (
+            self.built.model, self.built.quantizer, self.built.pyramid_spec,
+        )
+
+        @jax.jit
+        def forward(variables, clouds, mask):
+            res = jax.vmap(
+                lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0])
+            )(clouds, mask)
+            pyr = build_pyramid(res.coords_t, res.mask, spec)
+            return model.apply(variables, pyr, quantizer, train=False,
+                               disable_local_head=not with_local)
+
+        return forward
+
+    def compute_embeddings(self, variables, eval_subset, with_local=False,
+                           n_k: int = 256):
+        """Returns dict of stacked numpy outputs for all elements of the subset."""
+        import os
+
+        if self._forward is None:
+            self._forward = self._make_forward(with_local)
+        fwd = self._forward
+        bs = self.batch_size
+        outs: Dict[str, List[np.ndarray]] = {}
+        for start in range(0, len(eval_subset), bs):
+            chunk = eval_subset[start : start + bs]
+            clouds = np.zeros((bs, self.num_points, 3), np.float32)
+            mask = np.zeros((bs, self.num_points), bool)
+            for i, e in enumerate(chunk):
+                pc = self.pc_loader(os.path.join(self.dataset_root, e.rel_scan_filepath))
+                clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32), self.num_points)
+            y = fwd(variables, jnp.asarray(clouds), jnp.asarray(mask))
+            y = jax.device_get(y)
+            n = len(chunk)
+            outs.setdefault("global", []).append(y["global"][:n])
+            if with_local:
+                # keypoint selection by LOWEST sigma (reference :352-361)
+                sigma = y["sigma"][:n, :, 0]
+                kp_mask = y["kp_mask"][:n]
+                sigma = np.where(kp_mask, sigma, np.inf)
+                order = np.argsort(sigma, axis=1)[:, :n_k]
+                take = lambda arr: np.take_along_axis(  # noqa: E731
+                    arr, order[..., None] if arr.ndim == 3 else order, axis=1
+                )
+                outs.setdefault("keypoints", []).append(take(y["keypoints"][:n]))
+                outs.setdefault("descriptors", []).append(take(y["descriptors"][:n]))
+                outs.setdefault("sigma", []).append(take(sigma))
+                outs.setdefault("kp_valid", []).append(
+                    np.take_along_axis(kp_mask, order, axis=1)
+                )
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    # ---------- retrieval metrics ----------
+
+    def evaluate(self, variables) -> Dict:
+        map_e = self.compute_embeddings(variables, self.eval_set.map_set)
+        query_e = self.compute_embeddings(variables, self.eval_set.query_set)
+        return self.compute_recall(map_e["global"], query_e["global"])
+
+    def compute_recall(self, map_emb: np.ndarray, query_emb: np.ndarray) -> Dict:
+        """Recall@N protocol (reference eval/evaluate.py:73-116)."""
+        map_pos = self.eval_set.get_map_positions()
+        query_pos = self.eval_set.get_query_positions()
+        k = min(self.k, len(map_emb))
+        threshold = max(int(round(len(map_emb) / 100.0)), 1)  # 1% of DB
+
+        recall = {r: np.zeros(k) for r in self.radius}
+        one_percent_recall = {r: 0.0 for r in self.radius}
+        top1_ndx = np.zeros(len(query_emb), dtype=np.int64)
+
+        dist = np.linalg.norm(
+            query_emb[:, None].astype(np.float64) - map_emb[None].astype(np.float64),
+            axis=-1,
+        )
+        nn_ndx = np.argsort(dist, axis=1)[:, : max(k, threshold)]
+        top1_ndx = nn_ndx[:, 0]
+        for i in range(len(query_emb)):
+            geo = np.linalg.norm(map_pos[nn_ndx[i]] - query_pos[i], axis=1)
+            for r in self.radius:
+                hits = geo <= r
+                if hits[:k].any():
+                    first = int(np.argmax(hits[:k]))
+                    recall[r][first:] += 1
+                if hits[:threshold].any():
+                    one_percent_recall[r] += 1
+        nq = len(query_emb)
+        return {
+            "recall": {r: recall[r] / nq for r in self.radius},
+            "one_percent_recall": {r: one_percent_recall[r] / nq for r in self.radius},
+            "top1_ndx": top1_ndx,
+        }
+
+
+class GLEvaluator(Evaluator):
+    """Global + local (6DoF) evaluator (reference MinkLocGLEvaluator)."""
+
+    def __init__(self, *args, n_k=(128, 256), repeat_dist_th: float = 0.5,
+                 icp_refine: bool = False, n_hypotheses: int = 1024,
+                 rte_th: float = 2.0, rre_th: float = 5.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_k = list(n_k)
+        self.repeat_dist_th = repeat_dist_th
+        self.icp_refine = icp_refine
+        self.n_hypotheses = n_hypotheses
+        self.rte_th = rte_th
+        self.rre_th = rre_th
+
+    def _gt_relative_pose(self, query_pose, map_pose):
+        t = self.dataset_type.lower()
+        if t in ("mulran", "synthetic"):
+            # synthetic tuples store plain relative poses; mulran needs the fix
+            if t == "mulran":
+                return mulran_relative_pose(query_pose, map_pose)
+            return relative_pose(query_pose, map_pose)
+        if t == "kitti":
+            return kitti_relative_pose(query_pose, map_pose)
+        if t in ("southbay", "apollo-southbay"):
+            return relative_pose(query_pose, map_pose)
+        raise NotImplementedError(t)
+
+    def evaluate(self, variables) -> Dict:
+        n_k_max = max(self.n_k)
+        map_e = self.compute_embeddings(variables, self.eval_set.map_set,
+                                        with_local=True, n_k=n_k_max)
+        query_e = self.compute_embeddings(variables, self.eval_set.query_set,
+                                          with_local=True, n_k=n_k_max)
+        global_metrics = self.compute_recall(map_e["global"], query_e["global"])
+        top1 = global_metrics["top1_ndx"]
+
+        map_pos = self.eval_set.get_map_positions()
+        query_pos = self.eval_set.get_query_positions()
+
+        # pairs eligible for local eval: GT distance to top-1 <= 20 m (ref :192)
+        eligible = [
+            i for i in range(len(self.eval_set.query_set))
+            if np.linalg.norm(query_pos[i] - map_pos[top1[i]]) <= 20.0
+        ]
+
+        ransac_jit = jax.jit(
+            lambda key, kp1, d1, m1, kp2, d2, m2: jax.vmap(
+                lambda k_, a, b, c, d, e, f: ransac_6dof(
+                    k_, a, b, c, d, e, f, n_hypotheses=self.n_hypotheses
+                )
+            )(key, kp1, d1, m1, kp2, d2, m2)
+        )
+
+        metrics = {}
+        for n_k in self.n_k:
+            stats = self._eval_local(
+                eligible, top1, query_e, map_e, n_k, ransac_jit
+            )
+            metrics[n_k] = stats
+        return global_metrics, metrics
+
+    def _eval_local(self, eligible, top1, query_e, map_e, n_k, ransac_jit) -> Dict:
+        if not eligible:
+            return {"n_pairs": 0}
+        qi = np.asarray(eligible)
+        mi = top1[qi]
+        kp1 = query_e["keypoints"][qi][:, :n_k]
+        d1 = query_e["descriptors"][qi][:, :n_k]
+        m1 = query_e["kp_valid"][qi][:, :n_k]
+        kp2 = map_e["keypoints"][mi][:, :n_k]
+        d2 = map_e["descriptors"][mi][:, :n_k]
+        m2 = map_e["kp_valid"][mi][:, :n_k]
+
+        t0 = time.time()
+        keys = jax.random.split(jax.random.PRNGKey(0), len(qi))
+        res = ransac_jit(keys, jnp.asarray(kp1), jnp.asarray(d1), jnp.asarray(m1),
+                         jnp.asarray(kp2), jnp.asarray(d2), jnp.asarray(m2))
+        res = jax.device_get(res)
+        t_ransac = (time.time() - t0) / max(len(qi), 1)
+
+        # ground-truth relative poses (optionally ICP-refined: refines the GT,
+        # reference :216-236)
+        rte, rre, success, repeat = [], [], [], []
+        for j, (q, m) in enumerate(zip(qi, mi)):
+            t_gt = self._gt_relative_pose(
+                self.eval_set.query_set[q].pose, self.eval_set.map_set[m].pose
+            )
+            if self.icp_refine:
+                t_gt = self._icp_refine_gt(q, m, t_gt)
+            t_est = res.transform[j]
+            rte_j = np.linalg.norm(t_est[:3, 3] - t_gt[:3, 3])
+            rre_j = float(
+                rotation_error_deg(jnp.asarray(t_est[:3, :3]),
+                                   jnp.asarray(t_gt[:3, :3]))
+            )
+            rte.append(rte_j)
+            rre.append(rre_j)
+            success.append(rte_j <= self.rte_th and rre_j <= self.rre_th)
+            # keypoint repeatability under the GT transform (reference :402-411)
+            kp1t = kp1[j] @ t_gt[:3, :3].T + t_gt[:3, 3]
+            dmat = np.linalg.norm(kp1t[:, None] - kp2[j][None], axis=-1)
+            dmat[~m1[j]] = np.inf
+            dmat[:, ~m2[j]] = np.inf
+            repeat.append(float(np.mean(dmat.min(axis=1)[m1[j]] <= self.repeat_dist_th))
+                          if m1[j].any() else 0.0)
+
+        success = np.asarray(success)
+        rte = np.asarray(rte)
+        rre = np.asarray(rre)
+        return {
+            "n_pairs": len(qi),
+            "success_rate": float(np.mean(success)),
+            "rte": float(np.mean(rte[success])) if success.any() else float("nan"),
+            "rre": float(np.mean(rre[success])) if success.any() else float("nan"),
+            "rte_all": float(np.mean(rte)),
+            "rre_all": float(np.mean(rre)),
+            "repeatability": float(np.mean(repeat)),
+            "t_ransac": t_ransac,
+            "mean_inliers": float(np.mean(res.n_inliers)),
+            "mean_matches": float(np.mean(res.n_matches)),
+        }
+
+    def _icp_refine_gt(self, q, m, t_gt):
+        import os
+
+        from egonn_tpu.ops.icp import icp_point_to_point
+
+        pc1 = self.pc_loader(os.path.join(
+            self.dataset_root, self.eval_set.query_set[q].rel_scan_filepath))
+        pc2 = self.pc_loader(os.path.join(
+            self.dataset_root, self.eval_set.map_set[m].rel_scan_filepath))
+        return icp_point_to_point(pc1, pc2, t_gt)
+
+    def print_results(self, global_metrics, local_metrics):
+        for r, rec in global_metrics["recall"].items():
+            print(f"Radius: {r} [m] : ", end="")
+            print(f"Recall@N: {rec[:5]} ... "
+                  f"1%: {global_metrics['one_percent_recall'][r]:.3f}")
+        for n_k, s in local_metrics.items():
+            if s.get("n_pairs", 0) == 0:
+                continue
+            print(
+                f"n_k={n_k}: success={s['success_rate']:.3f} "
+                f"RTE={s['rte']:.3f} m RRE={s['rre']:.3f} deg "
+                f"repeat={s['repeatability']:.3f} t_ransac={s['t_ransac'] * 1e3:.1f} ms"
+            )

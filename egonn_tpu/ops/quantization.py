@@ -33,13 +33,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from egonn_tpu.ops.geometry import cartesian_to_polar, polar_to_cartesian
-from egonn_tpu.sparse.hashing import UniqueResult, unique_coords
+from egonn_tpu.sparse.packing import SortedUnique, sorted_unique
 
 
 class Quantizer:
-    """Common API: quantize / dequantize / keypoint_position."""
+    """Common API: quantize / dequantize / keypoint_position.
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> UniqueResult:
+    quantize() returns a key-sorted, deduplicated, fixed-capacity voxel set
+    (sparse/packing.py SortedUnique); the kept point per voxel is the FIRST source
+    point, matching ME.utils.sparse_quantize semantics."""
+
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
         raise NotImplementedError
 
     def __call__(self, pc, mask, capacity):
@@ -61,14 +65,25 @@ class PolarQuantizer(Quantizer):
         self.theta_range = int(360.0 // self.quant_step[0])
 
     def to_polar_voxels(self, pc: jnp.ndarray) -> jnp.ndarray:
-        """(..., 3) cartesian -> (..., 3) int32 polar voxel coordinates."""
-        polar = cartesian_to_polar(pc) / jnp.asarray(self.quant_step)
-        return jnp.floor(polar).astype(jnp.int32)
+        """(N, 3) cartesian -> (3, N) int32 polar voxel coordinates (transposed
+        layout; see sparse/hashing.py layout note)."""
+        step = self.quant_step
+        theta = 180.0 + jnp.arctan2(pc[..., 1], pc[..., 0]) * (180.0 / np.pi)
+        dist = jnp.sqrt(pc[..., 0] ** 2 + pc[..., 1] ** 2)
+        return jnp.stack(
+            [
+                jnp.floor(theta / step[0]).astype(jnp.int32),
+                jnp.floor(dist / step[1]).astype(jnp.int32),
+                jnp.floor(pc[..., 2] / step[2]).astype(jnp.int32),
+            ],
+            axis=0,
+        )
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> UniqueResult:
-        return unique_coords(self.to_polar_voxels(pc), mask, capacity)
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
+        return sorted_unique(self.to_polar_voxels(pc), mask, capacity)
 
     def dequantize(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """coords: (..., 3) voxel coords (row layout — transpose coords_t first)."""
         polar = (coords.astype(jnp.float32) + 0.5) * jnp.asarray(self.quant_step)
         return polar_to_cartesian(polar)
 
@@ -90,10 +105,11 @@ class CartesianQuantizer(Quantizer):
         self.quant_step = float(quant_step)
 
     def to_voxels(self, pc: jnp.ndarray) -> jnp.ndarray:
-        return jnp.floor(pc / self.quant_step).astype(jnp.int32)
+        """(N, 3) -> (3, N) int32 voxel coordinates (transposed layout)."""
+        return jnp.floor(pc.T / self.quant_step).astype(jnp.int32)
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> UniqueResult:
-        return unique_coords(self.to_voxels(pc), mask, capacity)
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
+        return sorted_unique(self.to_voxels(pc), mask, capacity)
 
     def dequantize(self, coords: jnp.ndarray) -> jnp.ndarray:
         return (coords.astype(jnp.float32) + 0.5) * self.quant_step

@@ -1,0 +1,145 @@
+"""Batched 6DoF RANSAC registration on device — the TPU-native replacement for
+Open3D's registration_ransac_based_on_feature_matching (reference
+eval/evaluate.py:381-399: mutual-filter feature matching, 3-point hypotheses,
+edge-length 0.8 + distance checkers, inlier distance 0.5 m, 10k iterations).
+
+TPU formulation: everything is fixed-shape and vectorized —
+
+* feature matching = one descriptor matmul + row/col argmax (mutual check);
+* all H hypotheses drawn and evaluated in parallel: 3-point Kabsch (closed-form
+  SVD on 3x3), edge-length check, inlier counting against all correspondences as
+  one (H, M) distance computation;
+* best hypothesis by inlier count, then `refine_iters` rounds of weighted-Kabsch
+  refit on inliers (replacing Open3D's confidence-based early stop, which is
+  data-dependent control flow).
+
+Pose convention matches the reference: T maps cloud1 (query) points into cloud2
+(map) frame.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from egonn_tpu.losses.triplet import pairwise_l2
+
+BIG = 1e9
+
+
+def kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted rigid alignment: returns 4x4 T with q ~ R p + t.
+
+    p, q: (N, 3); w: (N,) nonnegative weights."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = (w / wsum)[:, None]
+    mu_p = jnp.sum(p * wn, axis=0)
+    mu_q = jnp.sum(q * wn, axis=0)
+    pc = p - mu_p
+    qc = q - mu_q
+    h = (pc * wn).T @ qc  # (3, 3)
+    u, s, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
+    diag = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+    r = vt.T @ diag @ u.T
+    t = mu_q - r @ mu_p
+    m = jnp.eye(4).at[:3, :3].set(r).at[:3, 3].set(t)
+    return m
+
+
+def mutual_matches(desc1, mask1, desc2, mask2):
+    """Mutual nearest-neighbor correspondences by descriptor L2 distance.
+
+    Returns (idx2 (K1,), valid (K1,)): for each keypoint of cloud1, its match in
+    cloud2, valid where the match is mutual."""
+    d = pairwise_l2(desc1, desc2)
+    d = jnp.where(mask1[:, None] & mask2[None, :], d, BIG)
+    nn12 = jnp.argmin(d, axis=1)
+    nn21 = jnp.argmin(d, axis=0)
+    k1 = desc1.shape[0]
+    rows = jnp.arange(k1)
+    mutual = nn21[nn12] == rows
+    valid = mask1 & mutual & (jnp.min(d, axis=1) < BIG)
+    return nn12, valid
+
+
+class RansacResult(NamedTuple):
+    transform: jnp.ndarray   # (4, 4)
+    n_inliers: jnp.ndarray   # () int32 (of the best refined model)
+    n_matches: jnp.ndarray   # () int32 mutual correspondences
+    inlier_rmse: jnp.ndarray  # ()
+    fitness: jnp.ndarray     # () inliers / matches
+
+
+def ransac_6dof(rng_key, kp1, desc1, mask1, kp2, desc2, mask2,
+                n_hypotheses: int = 1024, distance_threshold: float = 0.5,
+                edge_length_ratio: float = 0.8, refine_iters: int = 2
+                ) -> RansacResult:
+    """Single pair; vmap over pairs for batched evaluation.
+
+    kp*: (K, 3) keypoint positions; desc*: (K, D); mask*: (K,) validity."""
+    k1 = kp1.shape[0]
+    idx2, valid = mutual_matches(desc1, mask1, desc2, mask2)
+    p = kp1                      # source points (K1, 3)
+    q = kp2[idx2]                # matched target points (K1, 3)
+    n_matches = jnp.sum(valid)
+
+    # sample 3 distinct correspondences per hypothesis, weighted to valid ones
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1e-9)
+    keys = jax.random.split(rng_key, n_hypotheses)
+
+    def hypothesis(key):
+        sel = jax.random.choice(key, k1, shape=(3,), replace=False, p=probs)
+        p3 = p[sel]
+        q3 = q[sel]
+        ok = jnp.all(valid[sel])
+        # Open3D edge-length checker: for every edge, the two clouds' edge lengths
+        # agree within ratio (reference eval/evaluate.py:392-393)
+        def edges(x):
+            return jnp.stack([
+                jnp.linalg.norm(x[0] - x[1]),
+                jnp.linalg.norm(x[1] - x[2]),
+                jnp.linalg.norm(x[0] - x[2]),
+            ])
+        ep = edges(p3)
+        eq = edges(q3)
+        ratio_ok = jnp.all(
+            (ep > edge_length_ratio * eq) & (eq > edge_length_ratio * ep)
+        )
+        m = kabsch(p3, q3, jnp.ones(3))
+        p_t = p @ m[:3, :3].T + m[:3, 3]
+        dist = jnp.linalg.norm(p_t - q, axis=-1)
+        inl = valid & (dist <= distance_threshold)
+        score = jnp.where(ok & ratio_ok, jnp.sum(inl), -1)
+        return score, m
+
+    scores, ms = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(scores)
+    m = ms[best]
+
+    # refit on inliers (weighted Kabsch), a couple of rounds
+    def refit(m, _):
+        p_t = p @ m[:3, :3].T + m[:3, 3]
+        dist = jnp.linalg.norm(p_t - q, axis=-1)
+        w = (valid & (dist <= distance_threshold)).astype(jnp.float32)
+        m2 = kabsch(p, q, w)
+        # keep the refit only if it does not lose inliers
+        p_t2 = p @ m2[:3, :3].T + m2[:3, 3]
+        d2 = jnp.linalg.norm(p_t2 - q, axis=-1)
+        better = jnp.sum(valid & (d2 <= distance_threshold)) >= jnp.sum(w > 0)
+        return jnp.where(better, m2, m), None
+
+    m, _ = jax.lax.scan(refit, m, None, length=refine_iters)
+
+    p_t = p @ m[:3, :3].T + m[:3, 3]
+    dist = jnp.linalg.norm(p_t - q, axis=-1)
+    inl = valid & (dist <= distance_threshold)
+    n_inl = jnp.sum(inl)
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(inl, dist**2, 0.0)) / jnp.maximum(n_inl, 1)
+    )
+    fitness = n_inl / jnp.maximum(n_matches, 1)
+    return RansacResult(m, n_inl.astype(jnp.int32), n_matches.astype(jnp.int32),
+                        rmse, fitness)

@@ -1,0 +1,102 @@
+"""Sparse convolution compute: gather -> matmul -> accumulate programs over the
+kernel maps produced by egonn_tpu.sparse.pyramid.
+
+This replaces MinkowskiEngine's C++/CUDA convolution kernels
+(ME.MinkowskiConvolution / MinkowskiConvolutionTranspose, used throughout the
+reference models/minkgl.py and models/resnet.py) with XLA-native programs:
+
+* `sparse_conv`: out[o] = sum_k feats[kmap[k, o]] @ W[k]; a lax.scan over the K
+  kernel offsets, each step one batched (B, C, F_in) x (F_in, F_out) matmul on the
+  MXU. Missing neighbors gather a zero row (sentinel index == C_in).
+* `sparse_conv_ones`: fast path for the stem conv when input features are the
+  constant 1 (EgoNN feeds all-ones 1-channel features — reference
+  datasets/dataset_utils.py:80): the gather degenerates to the kmap validity
+  pattern, one (B, C, K) x (K, F_out) matmul, no scan.
+* `sparse_tconv2x2`: transposed k=2 s=2 conv onto the recorded finer coordinate
+  set. Each fine voxel has exactly one parent and kernel slot, so this is a gather
+  plus 8 slot-masked matmuls.
+
+All functions are shape-static, differentiable, vmap/pjit-friendly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_zero_row(feats: jnp.ndarray) -> jnp.ndarray:
+    """Append a zero feature row per cloud so the sentinel index C_in gathers 0."""
+    b, _, f = feats.shape
+    return jnp.concatenate([feats, jnp.zeros((b, 1, f), feats.dtype)], axis=1)
+
+
+def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
+                accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Sparse convolution.
+
+    feats:  (B, C_in, F_in) — padding rows must be zero (use types.masked).
+    kmap:   (B, K, C_out) int32 gather indices into C_in (sentinel C_in -> zero).
+    kernel: (K, F_in, F_out).
+    Returns (B, C_out, F_out); padding rows of the output coordinate set come out
+    zero automatically (their kmap entries are all-sentinel).
+    """
+    feats_p = _pad_zero_row(feats)
+    k = kernel.shape[0]
+    c_out = kmap.shape[-1]
+    b = feats.shape[0]
+    f_out = kernel.shape[-1]
+
+    def step(acc, xs):
+        idx_k, w_k = xs  # (B, C_out), (F_in, F_out)
+        g = jnp.take_along_axis(feats_p, idx_k[..., None], axis=1)  # (B, C_out, F_in)
+        return acc + jnp.einsum(
+            "bcf,fo->bco", g, w_k, preferred_element_type=accum_dtype
+        ), None
+
+    acc0 = jnp.zeros((b, c_out, f_out), accum_dtype)
+    acc, _ = jax.lax.scan(step, acc0, (jnp.swapaxes(kmap, 0, 1), kernel))
+    return acc.astype(feats.dtype)
+
+
+def sparse_conv_ones(kmap: jnp.ndarray, kernel: jnp.ndarray, n_in_rows: int,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Stem conv over constant-ones 1-channel features.
+
+    out[b, c] = sum_k [kmap[b, k, c] valid] * kernel[k, 0, :] — a single matmul of
+    the occupancy pattern against the (K, F_out) weight matrix.
+    """
+    valid = (kmap < n_in_rows).astype(dtype)  # (B, K, C_out)
+    w = kernel[:, 0, :]  # (K, F_out)
+    return jnp.einsum("bkc,ko->bco", valid, w, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def sparse_conv1x1(feats: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """1x1 convolution — a plain channel matmul, no coordinate logic.
+
+    feats (B, C, F_in), kernel (F_in, F_out)."""
+    return jnp.einsum("bcf,fo->bco", feats, kernel, preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def sparse_tconv2x2(feats_coarse: jnp.ndarray, up_parent: jnp.ndarray,
+                    up_koffset: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Transposed k=2 s=2 convolution from level l+1 onto level l's coordinates.
+
+    feats_coarse: (B, C_coarse, F_in); up_parent: (B, C_fine) index into C_coarse
+    (sentinel C_coarse); up_koffset: (B, C_fine) in [0, 8); kernel: (8, F_in, F_out).
+    """
+    feats_p = _pad_zero_row(feats_coarse)
+    g = jnp.take_along_axis(feats_p, up_parent[..., None], axis=1)  # (B, C_fine, F_in)
+    b, c_fine, _ = g.shape
+    f_out = kernel.shape[-1]
+
+    # out[b,c] = g[b,c] @ kernel[koffset[b,c]] — 8 slot-masked matmuls via scan.
+    def step(acc, xs):
+        k, w_k = xs
+        sel = (up_koffset == k)[..., None].astype(g.dtype)
+        return acc + jnp.einsum(
+            "bcf,fo->bco", g * sel, w_k, preferred_element_type=jnp.float32
+        ), None
+
+    acc0 = jnp.zeros((b, c_fine, f_out), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (jnp.arange(8, dtype=jnp.int32), kernel))
+    return acc.astype(feats_coarse.dtype)

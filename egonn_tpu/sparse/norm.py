@@ -1,0 +1,73 @@
+"""Masked batch norm and global pooling over padded sparse voxel buffers.
+
+Replaces ME.MinkowskiBatchNorm / MinkowskiGlobal{Max,Avg}Pooling /
+MinkowskiBroadcastMultiplication (reference models/minkgl.py:102-107,
+layers/pooling.py:46-86, layers/eca_block.py:16-36).
+
+Semantics: BN statistics are computed per channel over ALL valid voxels of the
+whole batch (exactly torch BatchNorm1d over the flat N dimension, which is what
+MinkowskiBatchNorm does).  eps=1e-5, momentum=0.1, biased variance for
+normalization, unbiased for the running estimate — torch parity.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SparseBatchNorm(nn.Module):
+    """Masked BatchNorm over (B, C, F) voxel features with (B, C) validity mask."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if train:
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            x = feats.astype(jnp.float32) * m
+            mean = jnp.sum(x, axis=(0, 1)) / cnt
+            var = jnp.sum((x - mean) ** 2 * m, axis=(0, 1)) / cnt  # biased
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (feats - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y * mask[..., None].astype(y.dtype)
+
+
+def global_avg_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean over voxels: (B, C, F), (B, C) -> (B, F).
+    ME.MinkowskiGlobalAvgPooling equivalent."""
+    m = mask[..., None].astype(feats.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return jnp.sum(feats * m, axis=1) / cnt
+
+
+def global_max_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked max over voxels. ME.MinkowskiGlobalMaxPooling equivalent."""
+    neg = jnp.finfo(feats.dtype).min
+    x = jnp.where(mask[..., None], feats, neg)
+    return jnp.max(x, axis=1)
+
+
+def broadcast_mul(feats: jnp.ndarray, per_cloud: jnp.ndarray) -> jnp.ndarray:
+    """Multiply every voxel's features by a per-cloud (B, F) vector.
+    ME.MinkowskiBroadcastMultiplication equivalent."""
+    return feats * per_cloud[:, None, :]

@@ -1,0 +1,301 @@
+"""Training orchestration: the jitted combined train step + the epoch loop.
+
+Loop-structure parity with the reference training/trainer.py (jac99/Egonn):
+
+* each step processes one GLOBAL batch (batch-hard triplet on global descriptors)
+  and one LOCAL batch (keypoint + correspondence losses on cloud pairs), with ONE
+  optimizer update for the summed gradients (reference :160-193 accumulates both
+  backwards before optimizer.step()).
+* zip truncation: an epoch has min(#global_batches, #local_batches) steps
+  (reference :140-141).
+* batches without positives or negatives are skipped (reference :153-158).
+* per-epoch stat averaging, LR schedule stepped per epoch, checkpoints every
+  save_freq epochs + final, dynamic batch expansion when the non-zero-triplet
+  ratio drops below batch_expansion_th (reference :203-278).
+
+TPU-native differences: the whole hot path — augmentation, quantization, pyramid,
+both forwards, both losses, optimizer — is ONE jitted program per batch-size
+bucket; host work is file IO and batch assembly only (overlapped via Prefetcher).
+Under a multi-chip mesh the same step is compiled with axis-0-sharded batch inputs;
+XLA inserts the all-gather for the global BxB mining matrix (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egonn_tpu.config import TrainingParams, get_datetime
+from egonn_tpu.data.base import TrainingDataset
+from egonn_tpu.data.local_dataset import Training6DOFDataset, make_local_batch
+from egonn_tpu.data.pipeline import (
+    GlobalBatch,
+    LocalBatch,
+    Prefetcher,
+    device_preprocess_global,
+    make_global_batch,
+)
+from egonn_tpu.data.samplers import BatchSampler
+from egonn_tpu.losses.keypoint import make_losses
+from egonn_tpu.models.factory import BuiltModel, model_factory
+from egonn_tpu.sparse.pyramid import build_pyramid
+from egonn_tpu.train.state import (
+    TrainState,
+    apply_updates_with_lr,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    save_checkpoint,
+)
+
+
+def expansion_buckets(batch_size: int, limit: int, rate: Optional[float]) -> List[int]:
+    """The exact batch sizes dynamic expansion can produce — each is one compiled
+    shape (reference datasets/samplers.py:79-90)."""
+    sizes = [batch_size]
+    if rate:
+        b = batch_size
+        while b < limit:
+            b = min(int(b * rate), limit)
+            sizes.append(b)
+    return sizes
+
+
+def make_train_step(built: BuiltModel, params_cfg: TrainingParams, tx):
+    """Build the jitted combined (global + local) train step."""
+    model, quantizer, spec = built.model, built.quantizer, built.pyramid_spec
+    gl_loss_fn, loc_loss_fn = make_losses(params_cfg)
+    aug_mode = params_cfg.aug_mode
+
+    def forward(variables, clouds, mask, rng, train, augment):
+        pyr = device_preprocess_global(
+            clouds, mask, quantizer, spec, rng_key=rng if augment else None,
+            aug_mode=aug_mode,
+        )
+        if train:
+            y, mut = model.apply(variables, pyr, quantizer, train=True,
+                                 mutable=["batch_stats"])
+            return y, mut["batch_stats"]
+        return model.apply(variables, pyr, quantizer, train=False), variables["batch_stats"]
+
+    def step(state: TrainState, g: Dict, l: Dict, rng, lr, train: bool):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            yg, bs1 = forward(variables, g["clouds"], g["point_mask"], rng, train, True)
+            gl_loss, gl_stats = gl_loss_fn(
+                yg["global"], g["positives_mask"], g["negatives_mask"]
+            )
+            variables = {"params": params, "batch_stats": bs1}
+            y1, bs2 = forward(variables, l["anc_clouds"], l["anc_mask"], None, train, False)
+            variables = {"params": params, "batch_stats": bs2}
+            y2, bs3 = forward(variables, l["pos_clouds"], l["pos_mask"], None, train, False)
+            loc_loss, loc_stats = loc_loss_fn(
+                l["anc_clouds"], l["anc_mask"],
+                y1["keypoints"], y1["sigma"], y1["descriptors"], y1["kp_mask"],
+                l["pos_clouds"], l["pos_mask"],
+                y2["keypoints"], y2["sigma"], y2["descriptors"], y2["kp_mask"],
+                l["t_gt"],
+            )
+            total = gl_loss + loc_loss
+            stats = {"global_loss": gl_loss, "local_loss": loc_loss, "loss": gl_loss}
+            stats.update(gl_stats)
+            stats.update({k: v for k, v in loc_stats.items() if k != "loss"})
+            return total, (stats, bs3)
+
+        if train:
+            (_, (stats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = apply_updates_with_lr(state.params, updates, lr)
+            state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=new_opt)
+        else:
+            _, (stats, _) = loss_fn(state.params)
+        return state, stats
+
+    return jax.jit(step, static_argnames=("train",)), gl_loss_fn, loc_loss_fn
+
+
+@dataclass
+class EpochStats:
+    phase: str
+    stats: Dict[str, float]
+
+
+def print_stats(stats: Dict[str, float], phase: str):
+    """Reference training/trainer.py:18-43."""
+    if "num_triplets" in stats:
+        print(
+            f"{phase} - Global loss: {stats['global_loss']:.6f}    "
+            f"Embedding norm: {stats['avg_embedding_norm']:.4f}   "
+            f"Triplets (all/active): {stats['num_triplets']:.1f}/"
+            f"{stats['num_non_zero_triplets']:.1f}"
+        )
+    if "mean_pos_pair_dist" in stats:
+        print(
+            "Pos dist (min/mean/max): {:.4f}/{:.4f}/{:.4f}   "
+            "Neg dist (min/mean/max): {:.4f}/{:.4f}/{:.4f}".format(
+                stats["min_pos_pair_dist"], stats["mean_pos_pair_dist"],
+                stats["max_pos_pair_dist"], stats["min_neg_pair_dist"],
+                stats["mean_neg_pair_dist"], stats["max_neg_pair_dist"],
+            )
+        )
+    if "local_loss" in stats:
+        print(
+            f"Local loss: {stats['local_loss']:.4f}   "
+            f"loss chamfer: {stats['loss_chamfer']:.4f}   "
+            f"loss p2p: {stats['loss_p2p']:.4f}  "
+            f"desc. loss: {stats['correspondence_loss']:.4f}"
+        )
+        print(
+            f"repeat.: {stats['repeatability']:0.3f}   "
+            f"match. descriptors: {stats['matching_descriptors']:0.3f}"
+        )
+
+
+def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "weights",
+             log_fn=None, dataset_type: Optional[str] = None):
+    """Full training loop.  log_fn(metrics_dict) is the wandb.log stand-in."""
+    dataset_type = dataset_type or params.dataset
+    built = model_factory(params.model_params)
+    model_name = f"model_{params.model_params.model}_{get_datetime()}"
+    os.makedirs(weights_path, exist_ok=True)
+    print(f"Model name: {model_name}")
+
+    num_points = params.model_params.num_points
+
+    # datasets (reference datasets/dataset_utils.py:18-43)
+    from egonn_tpu.data.augmentation import train_transform  # noqa: F401  (device-side)
+
+    train_ds = TrainingDataset(params.dataset_folder, dataset_type, params.train_file)
+    val_ds = (
+        TrainingDataset(params.dataset_folder, dataset_type, params.val_file)
+        if params.val_file
+        else None
+    )
+    local_train_ds = Training6DOFDataset(
+        params.dataset_folder, dataset_type, params.train_file,
+        params.model_params.quantizer, rot_max=params.rot_max,
+        trans_max=params.trans_max,
+    )
+    local_val_ds = (
+        Training6DOFDataset(
+            params.dataset_folder, dataset_type, params.val_file,
+            params.model_params.quantizer, rot_max=params.rot_max,
+            trans_max=params.trans_max,
+        )
+        if params.val_file
+        else None
+    )
+
+    sampler = BatchSampler(
+        train_ds, batch_size=params.batch_size,
+        batch_size_limit=params.batch_size_limit,
+        batch_expansion_rate=params.batch_expansion_rate,
+    )
+    val_sampler = BatchSampler(val_ds, batch_size=params.batch_size_limit) if val_ds else None
+    buckets = expansion_buckets(
+        params.batch_size, params.batch_size_limit, params.batch_expansion_rate
+    )
+
+    tx = make_optimizer(params)
+    lr_sched = make_lr_schedule(params)
+    step_fn, _, _ = make_train_step(built, params, tx)
+
+    # init
+    rng = jax.random.PRNGKey(0)
+    init_cloud = np.zeros((2, num_points, 3), np.float32)
+    init_mask = np.zeros((2, num_points), bool)
+    def _init_pyr(c, m):
+        res = jax.vmap(
+            lambda pc, mm: built.quantizer.quantize(pc, mm, built.pyramid_spec.capacities[0])
+        )(c, m)
+        return build_pyramid(res.coords_t, res.mask, built.pyramid_spec)
+
+    init_pyr = jax.jit(_init_pyr)(jnp.asarray(init_cloud), jnp.asarray(init_mask))
+    variables = jax.jit(
+        lambda k, p: built.model.init(k, p, built.quantizer, train=False)
+    )(rng, init_pyr)
+    state = init_train_state(variables, tx)
+
+    all_stats: Dict[str, List[Dict[str, float]]] = {"train": [], "val": []}
+    rng_np = np.random.default_rng(0)
+
+    for epoch in range(1, params.epochs + 1):
+        t_epoch = time.time()
+        lr = float(lr_sched(epoch - 1))
+        phases = ["train"] + (["val"] if val_ds else [])
+        for phase in phases:
+            ds = train_ds if phase == "train" else val_ds
+            lds = local_train_ds if phase == "train" else local_val_ds
+            smp = sampler if phase == "train" else val_sampler
+            local_ids = list(lds.queries)
+            rng_np.shuffle(local_ids)
+            lbs = params.local_batch_size
+            local_batches = [
+                local_ids[i : i + lbs] for i in range(0, len(local_ids) - lbs + 1, lbs)
+            ]
+
+            def batches():
+                for bi, (gids, lids) in enumerate(zip(smp, local_batches)):
+                    g = make_global_batch(ds, gids, num_points, buckets)
+                    l = make_local_batch(lds, lids, num_points)
+                    yield g, l
+
+            running: List[Dict[str, float]] = []
+            for count, (g, l) in enumerate(Prefetcher(batches)):
+                if debug and count >= 2:
+                    break
+                if g.positives_mask.sum() == 0 or g.negatives_mask.sum() == 0:
+                    print("WARNING: Skipping batch without positive or negative examples")
+                    continue
+                rng, step_rng = jax.random.split(rng)
+                gdict = {
+                    "clouds": g.clouds, "point_mask": g.point_mask,
+                    "positives_mask": g.positives_mask,
+                    "negatives_mask": g.negatives_mask,
+                }
+                ldict = {
+                    "anc_clouds": l.anc_clouds, "anc_mask": l.anc_mask,
+                    "pos_clouds": l.pos_clouds, "pos_mask": l.pos_mask,
+                    "t_gt": l.t_gt,
+                }
+                state, stats = step_fn(
+                    state, gdict, ldict, step_rng, jnp.float32(lr),
+                    train=phase == "train",
+                )
+                running.append({k: float(v) for k, v in stats.items()})
+
+            if running:
+                epoch_stats = {k: float(np.mean([r[k] for r in running]))
+                               for k in running[0]}
+                all_stats[phase].append(epoch_stats)
+                print_stats(epoch_stats, phase)
+
+        state = state.replace(epoch=state.epoch + 1)
+
+        if epoch % params.save_freq == 0:
+            save_checkpoint(os.path.join(weights_path, model_name), state, epoch)
+
+        if log_fn is not None and all_stats["train"]:
+            log_fn({"epoch": epoch, "lr": lr, "train": all_stats["train"][-1],
+                    **({"val": all_stats["val"][-1]} if all_stats["val"] else {})})
+
+        # dynamic batch expansion (reference :269-278)
+        if params.batch_expansion_th is not None and all_stats["train"]:
+            es = all_stats["train"][-1]
+            if "num_non_zero_triplets" in es and es["num_triplets"] > 0:
+                rnz = es["num_non_zero_triplets"] / es["num_triplets"]
+                if rnz < params.batch_expansion_th:
+                    sampler.expand_batch()
+        print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s (lr {lr:.2e})")
+
+    save_checkpoint(os.path.join(weights_path, model_name), state, params.epochs)
+    return state, all_stats, model_name

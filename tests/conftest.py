@@ -12,6 +12,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The environment defaults to degraded (bf16-class) matmul precision, matching the
+# TPU MXU's native pass. Golden numeric tests need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: compiles in this environment are slow (remote
+# service); caching makes repeat test runs fast.
+os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

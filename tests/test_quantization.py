@@ -33,7 +33,7 @@ def test_polar_quantizer_residual(rng):
     q = PolarQuantizer([0.5, 0.3, 0.2])
     res = q.quantize(jnp.asarray(pc), jnp.ones(len(pc), dtype=bool), capacity=len(pc))
     mask = np.asarray(res.mask)
-    back = np.asarray(q.dequantize(res.coords))[mask]
+    back = np.asarray(q.dequantize(res.coords_t.T))[mask]
     orig = pc[np.asarray(res.index)[mask]]
     dist = np.linalg.norm(back - orig, axis=1)
     # max residual: half voxel diagonal; at r<=142 m a 0.5 deg sector is ~1.24 m wide
@@ -44,13 +44,19 @@ def test_polar_quantizer_residual(rng):
 
 
 def test_polar_quantizer_matches_numpy(rng):
+    # Device output is key-sorted; numpy reference is source-ordered — compare as
+    # (voxel -> first source index) maps.
     pc = make_cloud(rng, 500)
     q = PolarQuantizer([1.0, 0.3, 0.2])
     res = q.quantize(jnp.asarray(pc), jnp.ones(len(pc), dtype=bool), capacity=len(pc))
     coords_np, index_np = quantize_np(q, pc)
+    ref = {tuple(c): i for c, i in zip(coords_np, index_np)}
     mask = np.asarray(res.mask)
-    np.testing.assert_array_equal(np.asarray(res.index)[mask], index_np)
-    np.testing.assert_array_equal(np.asarray(res.coords)[mask], coords_np)
+    got_coords = np.asarray(res.coords_t).T[mask]
+    got_index = np.asarray(res.index)[mask]
+    assert len(got_coords) == len(ref)
+    for c, i in zip(got_coords, got_index):
+        assert ref[tuple(c)] == i  # first source point per voxel
 
 
 def test_cartesian_quantizer(rng):
@@ -58,7 +64,7 @@ def test_cartesian_quantizer(rng):
     q = CartesianQuantizer(0.3)
     res = q.quantize(jnp.asarray(pc), jnp.ones(len(pc), dtype=bool), capacity=len(pc))
     mask = np.asarray(res.mask)
-    back = np.asarray(q.dequantize(res.coords))[mask]
+    back = np.asarray(q.dequantize(res.coords_t.T))[mask]
     orig = pc[np.asarray(res.index)[mask]]
     dist = np.linalg.norm(back - orig, axis=1)
     assert dist.max() <= 0.5 * np.sqrt(3) * 0.3 + 1e-5
@@ -88,4 +94,4 @@ def test_negative_z_floor_semantics():
     q = CartesianQuantizer(1.0)
     pc = jnp.asarray([[-0.5, -1.5, -2.5]], dtype=jnp.float32)
     res = q.quantize(pc, jnp.ones(1, dtype=bool), capacity=4)
-    np.testing.assert_array_equal(np.asarray(res.coords)[0], [-1, -2, -3])
+    np.testing.assert_array_equal(np.asarray(res.coords_t)[:, 0], [-1, -2, -3])
