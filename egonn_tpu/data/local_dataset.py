@@ -29,10 +29,18 @@ class Training6DOFDataset(TrainingDataset):
         self.rot_max = rot_max
         self.trans_max = trans_max
         self.rng = rng or np.random.default_rng()
+        # anchors usable for pair sampling: need >= 1 positive WITH a relative pose
+        self.valid_ids = [
+            ndx for ndx, q in self.queries.items()
+            if len(q.positives) > 0 and q.positives_poses
+        ]
 
     def __getitem__(self, ndx):
         query_pc, _ = super().__getitem__(ndx)
         positives = self.get_positives(ndx)
+        # restrict to positives with a stored relative pose
+        positives = [p for p in positives if p in self.queries[ndx].positives_poses]
+        assert positives, f"element {ndx} has no positives with relative poses"
         positive_idx = int(self.rng.choice(positives, 1)[0])
         positive_pc, _ = super().__getitem__(positive_idx)
         transform = self.queries[ndx].positives_poses[positive_idx]

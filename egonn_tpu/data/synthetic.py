@@ -101,8 +101,8 @@ def generate_synthetic_dataset(
     scan_radius: float = 60.0,
     max_points: int = 16384,
     seed: int = 0,
-    positive_radius: float = 2.0,
-    non_negative_radius: float = 10.0,
+    positive_radius: float = 10.0,
+    non_negative_radius: float = 25.0,
     train_frac: float = 0.75,
 ) -> Tuple[str, str, str]:
     """Create scans + train/val tuple pickles + an evaluation-set pickle.
@@ -112,6 +112,10 @@ def generate_synthetic_dataset(
     positives/non-negatives by 2-D pose distance (tuple-generation protocol of
     datasets/mulran/generate_training_tuples.py:50-51) and positives_poses =
     ground-truth relative poses (ICP refinement unnecessary for synthetic data).
+
+    Note: the default positive/non-negative radii are wider than the reference's
+    2/10 m because consecutive synthetic scans are ~2*pi*0.55*extent/n_scans
+    apart (several meters) — with 2 m positives no tuple would have any.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "scans"), exist_ok=True)

@@ -21,13 +21,20 @@ BIG = 1e9
 
 
 def pairwise_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Euclidean distance matrix (N, M) computed stably in f32."""
+    """Euclidean distance matrix (N, M) computed stably in f32.
+
+    Gradient-safe at zero distance: sqrt'(0) = inf would poison the whole
+    gradient with 0*inf = NaN (the self-diagonal of an embedding distance matrix
+    is exactly 0), so the zero branch is excluded from the sqrt via double-where
+    — matching torch.cdist's subgradient-0-at-0 behavior."""
     sq = (
         jnp.sum(x**2, axis=-1)[:, None]
         + jnp.sum(y**2, axis=-1)[None, :]
         - 2.0 * (x @ y.T)
     )
-    return jnp.sqrt(jnp.clip(sq, 0.0, None))
+    sq = jnp.clip(sq, 0.0, None)
+    pos = sq > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
 def mine_hardest(dist: jnp.ndarray, positives_mask: jnp.ndarray,

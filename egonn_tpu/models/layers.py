@@ -191,6 +191,9 @@ class GeM(nn.Module):
         p = self.param("p", lambda k: jnp.full((1,), self.p_init, jnp.float32))
         x = jnp.clip(feats, self.eps, None) ** p
         x = global_avg_pool(masked(x, mask), mask)
+        # clouds with zero valid voxels (bucket padding) pool to 0; 0**(1/p) has
+        # an infinite derivative, so clamp at eps**p (== GeM of an eps-feature)
+        x = jnp.maximum(x, self.eps ** p)
         return x ** (1.0 / p)
 
 
@@ -227,9 +230,14 @@ class PoolingWrapper(nn.Module):
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch.nn.functional.normalize parity: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch.nn.functional.normalize parity: x / max(||x||, eps).
+
+    Gradient-safe on all-zero rows (padding): the norm is computed as
+    sqrt(max(sum(x^2), eps^2)) so its derivative stays finite at 0 — a bare
+    jnp.linalg.norm has a NaN gradient there that poisons the whole backward."""
+    nsq = jnp.sum(x * x, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(nsq, eps * eps))
+    return x / n
 
 
 class DescriptorDecoder(nn.Module):

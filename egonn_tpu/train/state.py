@@ -114,5 +114,12 @@ def load_checkpoint(ckpt_dir: str, step: Optional[int] = None,
         if template is not None:
             state = ckptr.restore(path, template)
         else:
-            state = ckptr.restore(path)
+            # template-free restore yields a plain dict; rebuild the TrainState
+            raw = ckptr.restore(path)
+            state = TrainState(
+                params=raw["params"],
+                batch_stats=raw["batch_stats"],
+                opt_state=raw["opt_state"],
+                epoch=jnp.asarray(raw["epoch"], jnp.int32),
+            )
     return state, step

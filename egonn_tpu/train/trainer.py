@@ -236,7 +236,7 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
             ds = train_ds if phase == "train" else val_ds
             lds = local_train_ds if phase == "train" else local_val_ds
             smp = sampler if phase == "train" else val_sampler
-            local_ids = list(lds.queries)
+            local_ids = list(lds.valid_ids)
             rng_np.shuffle(local_ids)
             lbs = params.local_batch_size
             local_batches = [
@@ -278,6 +278,9 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                                for k in running[0]}
                 all_stats[phase].append(epoch_stats)
                 print_stats(epoch_stats, phase)
+            else:
+                print(f"WARNING: {phase} epoch produced ZERO steps — check that "
+                      "tuples have positives and both loaders are non-empty")
 
         state = state.replace(epoch=state.epoch + 1)
 
