@@ -59,8 +59,8 @@ def main():
     mask = jnp.ones((b, num_points), bool)
 
     def mk_pyr(c, m):
-        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0]))(c, m)
-        return build_pyramid(res.coords_t, res.mask, spec)
+        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0], need_index=False))(c, m)
+        return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
 
     pyr = jax.jit(mk_pyr)(clouds, mask)
     variables = jax.jit(lambda k, p: model.init(k, p, quantizer, train=False))(
@@ -69,29 +69,32 @@ def main():
 
     @jax.jit
     def forward(variables, clouds, mask):
-        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0]))(
+        res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0], need_index=False))(
             clouds, mask
         )
-        p = build_pyramid(res.coords_t, res.mask, spec)
+        p = build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
         y = model.apply(variables, p, quantizer, train=False)
         return y["global"], y["sigma"]
 
-    # warmup / compile
+    # warmup / compile.  Measurement methodology notes (axon TPU):
+    # - inputs must VARY per iteration (identical executions can be deduped by
+    #   the runtime and report fantasy throughput);
+    # - block_until_ready does not reliably block through the tunnel — chain N
+    #   executions and force ONE device_get at the end (executions are queued in
+    #   order, so the get bounds all N).
     out = forward(variables, clouds, mask)
-    jax.block_until_ready(out)
+    _ = jax.device_get(out[0][:1, :1])
 
-    # NOTE: inputs must VARY per iteration — identical executions can be deduped
-    # by the runtime and report fantasy throughput.
-    iters = 8
+    iters = 10
     variants = [
         jnp.asarray(np.asarray(clouds) + rng.normal(0, 0.01, clouds.shape).astype(np.float32))
         for _ in range(iters)
     ]
-    jax.block_until_ready(variants)
+    _ = jax.device_get(variants[-1][:1, :1])
     t0 = time.perf_counter()
     for v in variants:
         out = forward(variables, v, mask)
-        jax.block_until_ready(out)
+    _ = jax.device_get(out[0][:1, :1])
     dt = (time.perf_counter() - t0) / iters
 
     clouds_per_sec = b / dt

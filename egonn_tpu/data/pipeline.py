@@ -121,10 +121,10 @@ def device_preprocess_global(clouds: jnp.ndarray, point_mask: jnp.ndarray,
             keys[:b], clouds, point_mask
         )
         clouds = train_set_transform(keys[b], clouds, aug_mode)
-    res = jax.vmap(lambda pc, m: quantizer.quantize(pc, m, spec.capacities[0]))(
+    res = jax.vmap(lambda pc, m: quantizer.quantize(pc, m, spec.capacities[0], need_index=False))(
         clouds, point_mask
     )
-    return build_pyramid(res.coords_t, res.mask, spec, n_unique0=res.n_unique)
+    return build_pyramid(res.coords_t, res.mask, spec, n_unique0=res.n_unique, keys0=res.keys)
 
 
 class Prefetcher:

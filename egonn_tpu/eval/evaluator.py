@@ -73,9 +73,9 @@ class Evaluator:
         @jax.jit
         def forward(variables, clouds, mask):
             res = jax.vmap(
-                lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0])
+                lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0], need_index=False)
             )(clouds, mask)
-            pyr = build_pyramid(res.coords_t, res.mask, spec)
+            pyr = build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
             return model.apply(variables, pyr, quantizer, train=False,
                                disable_local_head=not with_local)
 

@@ -43,11 +43,14 @@ class Quantizer:
     (sparse/packing.py SortedUnique); the kept point per voxel is the FIRST source
     point, matching ME.utils.sparse_quantize semantics."""
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int,
+                 need_index: bool = True) -> SortedUnique:
+        """need_index=False skips the kept-point payload (cheaper single-operand
+        sort); the model path never needs it (all-ones features)."""
         raise NotImplementedError
 
-    def __call__(self, pc, mask, capacity):
-        return self.quantize(pc, mask, capacity)
+    def __call__(self, pc, mask, capacity, need_index: bool = True):
+        return self.quantize(pc, mask, capacity, need_index)
 
     def dequantize(self, coords: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
@@ -79,8 +82,10 @@ class PolarQuantizer(Quantizer):
             axis=0,
         )
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
-        return sorted_unique(self.to_polar_voxels(pc), mask, capacity)
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int,
+                 need_index: bool = True) -> SortedUnique:
+        return sorted_unique(self.to_polar_voxels(pc), mask, capacity,
+                             need_index=need_index)
 
     def dequantize(self, coords: jnp.ndarray) -> jnp.ndarray:
         """coords: (..., 3) voxel coords (row layout — transpose coords_t first)."""
@@ -108,8 +113,10 @@ class CartesianQuantizer(Quantizer):
         """(N, 3) -> (3, N) int32 voxel coordinates (transposed layout)."""
         return jnp.floor(pc.T / self.quant_step).astype(jnp.int32)
 
-    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> SortedUnique:
-        return sorted_unique(self.to_voxels(pc), mask, capacity)
+    def quantize(self, pc: jnp.ndarray, mask: jnp.ndarray, capacity: int,
+                 need_index: bool = True) -> SortedUnique:
+        return sorted_unique(self.to_voxels(pc), mask, capacity,
+                             need_index=need_index)
 
     def dequantize(self, coords: jnp.ndarray) -> jnp.ndarray:
         return (coords.astype(jnp.float32) + 0.5) * self.quant_step

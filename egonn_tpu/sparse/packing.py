@@ -15,8 +15,9 @@ primitives whose every op is a dense vectorized gather / sort / cumsum:
   detection -> cumsum rank -> one UNIQUE-index scatter to compact.  "First point
   per voxel" (reference datasets/quantization.py:42 semantics) holds because the
   stable sort keeps equal keys in source order.
-* Kernel maps / lookups = `searchsorted` binary search over the sorted key array
-  (log2(capacity) vectorized gather rounds) — no data-dependent loops at all.
+* Kernel maps / lookups = bucketed compare-all over the sorted key array
+  (lookup_sorted: one contiguous bucket row-gather + dense compares per query)
+  — no data-dependent loops at all.
 
 The resulting voxel sets are SORTED BY KEY (a deterministic spatial order), which
 also makes downstream gathers cache-friendlier.
@@ -77,36 +78,81 @@ class SortedUnique(NamedTuple):
     keys: jnp.ndarray      # (capacity,) int32 sorted unique keys, MAXKEY padded
     coords_t: jnp.ndarray  # (3, capacity) int32 coords of unique voxels
     mask: jnp.ndarray      # (capacity,) bool
-    index: jnp.ndarray     # (capacity,) int32 FIRST source row per voxel (0 on pads)
+    index: jnp.ndarray     # (capacity,) int32 FIRST source row per voxel (0 on
+                           # pads); all-zero when need_index=False
     n_unique: jnp.ndarray  # () int32 unique count incl. beyond-capacity overflow
 
 
-def sorted_unique(coords_t: jnp.ndarray, mask: jnp.ndarray, capacity: int,
-                  spec: PackSpec = DEFAULT_PACK,
-                  keys: jnp.ndarray | None = None) -> SortedUnique:
+def sorted_unique(coords_t: jnp.ndarray | None, mask: jnp.ndarray | None,
+                  capacity: int, spec: PackSpec = DEFAULT_PACK,
+                  keys: jnp.ndarray | None = None,
+                  need_index: bool = True,
+                  assume_sorted: bool = False) -> SortedUnique:
     """Fixed-capacity voxel dedup keeping the first (lowest source row) point per
-    voxel; output sorted by packed key.  `ME.utils.sparse_quantize` equivalent."""
-    n = coords_t.shape[1]
+    voxel; output sorted by packed key.  `ME.utils.sparse_quantize` equivalent.
+
+    need_index=False skips the source-row payload (single-operand sort — ~2x
+    cheaper; EgoNN's features are constant 1 so the model never needs it) and
+    permits coords_t=None (coords are then reconstructed from `keys`, which must
+    be given).
+    assume_sorted=True skips the sort entirely (keys already ascending — true for
+    keys derived by halve_keys from a sorted parent level)."""
     if keys is None:
         keys = pack_keys(coords_t, mask, spec)
-    rows = jnp.arange(n, dtype=jnp.int32)
-    sorted_keys, sorted_rows = jax.lax.sort((keys, rows), num_keys=1, is_stable=True)
+    n = keys.shape[0]
+    assert need_index is False or coords_t is not None
+    if assume_sorted:
+        sorted_keys = keys
+        sorted_rows = jnp.arange(n, dtype=jnp.int32) if need_index else None
+    elif need_index:
+        rows = jnp.arange(n, dtype=jnp.int32)
+        sorted_keys, sorted_rows = jax.lax.sort((keys, rows), num_keys=1,
+                                                is_stable=True)
+    else:
+        sorted_keys = jax.lax.sort(keys)
+        sorted_rows = None
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     is_first = (sorted_keys != prev) & (sorted_keys != MAXKEY)
     rank = jnp.cumsum(is_first) - 1  # unique ordinal of each run start
 
     out_keys = jnp.full((capacity,), MAXKEY, jnp.int32)
-    out_rows = jnp.zeros((capacity,), jnp.int32)
     sel = is_first & (rank < capacity)
     tgt = jnp.where(sel, rank, capacity)  # 'capacity' drops via mode='drop'
     out_keys = out_keys.at[tgt].set(jnp.where(sel, sorted_keys, MAXKEY),
                                     mode="drop", unique_indices=True)
-    out_rows = out_rows.at[tgt].set(jnp.where(sel, sorted_rows, 0),
-                                    mode="drop", unique_indices=True)
     out_mask = out_keys != MAXKEY
-    out_coords = coords_t[:, out_rows]
+    if sorted_rows is not None:
+        out_rows = jnp.zeros((capacity,), jnp.int32)
+        out_rows = out_rows.at[tgt].set(jnp.where(sel, sorted_rows, 0),
+                                        mode="drop", unique_indices=True)
+        out_coords = coords_t[:, out_rows]
+    else:
+        out_rows = jnp.zeros((capacity,), jnp.int32)
+        # coordinates reconstructed losslessly from the packed keys
+        out_coords = jnp.where(out_mask[None, :], unpack_keys(out_keys, spec), 0)
     n_unique = jnp.sum(is_first).astype(jnp.int32)
     return SortedUnique(out_keys, out_coords, out_mask, out_rows, n_unique)
+
+
+def halve_keys(keys: jnp.ndarray, spec: PackSpec = DEFAULT_PACK) -> jnp.ndarray:
+    """Packed key of floor(coord/2) computed directly on the key.
+
+    Valid because (c + o) // 2 == c // 2 + o // 2 for even offsets.  Requires all
+    offsets divisible by 2 at every level used (the defaults 512/512/1024 support
+    7+ levels); MAXKEY maps to MAXKEY.  CAUTION: halving does NOT preserve the
+    sorted order of a key array (collapsing a higher field defers the comparison
+    to lower fields) — re-sort before using as a lookup table."""
+    bx, by, bz = spec.bits
+    z = (keys & ((1 << bz) - 1)) >> 1
+    y = ((keys >> bz) & ((1 << by) - 1)) >> 1
+    x = ((keys >> (by + bz)) & ((1 << bx) - 1)) >> 1
+    halved = (x << (by + bz)) | (y << bz) | z
+    return jnp.where(keys == MAXKEY, MAXKEY, halved)
+
+
+def halved_spec(spec: PackSpec) -> PackSpec:
+    """PackSpec whose offsets correspond to once-halved coordinates."""
+    return PackSpec(spec.bits, tuple(o // 2 for o in spec.offsets))
 
 
 def lookup_sorted(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray,
@@ -142,5 +188,4 @@ def lookup_sorted(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray,
     within = jnp.argmax(eq, axis=1).astype(jnp.int32)
     pos = b * bucket + within
     return jnp.where(found, pos, sentinel).reshape(qshape)
-
 

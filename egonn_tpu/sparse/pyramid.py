@@ -18,9 +18,10 @@ For each level l (tensor stride 2^l) we precompute, inside jit with static shape
 
 Coordinate engine (TPU-fast, measured on v5e): voxel dedup is packed-key sort
 based (sparse/packing.py — no colliding scatters); kernel maps are bucketed
-compare-all lookups over the sorted keys (packing.lookup_sorted — one contiguous
-row-gather per query + dense vectorized compares; binary search and dense index
-grids both measured 20-50x slower on TPU).
+compare-all lookups over the sorted keys (packing.lookup_sorted).  Alternatives
+measured slower on real hardware: hash tables w/ colliding scatters (~100x),
+per-query binary search (12x), dense index grids (30x), z-run window lookups
+(1.7-2.8x).
 
 Kernel offset enumeration order: C-order itertools.product over (dx, dy, dz), dz
 fastest — e.g. for k=2: (0,0,0), (0,0,1), (0,1,0), ... (1,1,1), slot = 4*dx+2*dy+dz.
@@ -40,7 +41,10 @@ import numpy as np
 
 from egonn_tpu.sparse.packing import (
     DEFAULT_PACK,
+    MAXKEY,
     PackSpec,
+    halve_keys,
+    halved_spec,
     lookup_sorted,
     pack_keys,
     sorted_unique,
@@ -78,52 +82,103 @@ class PyramidSpec:
     self_levels: Tuple[int, ...] = ()
     up_levels: Tuple[int, ...] = ()
     pack: PackSpec = DEFAULT_PACK
+    # Whether level 0 records the input-row index of each voxel (tests / raw-cloud
+    # dedup need it; the model path does not — saves a sort payload).
+    need_source_index: bool = True
 
     @property
     def num_levels(self) -> int:
         return len(self.capacities) - 1
 
+    def pack_at(self, level: int) -> PackSpec:
+        sp = self.pack
+        for _ in range(level):
+            sp = halved_spec(sp)
+        return sp
+
 
 DOWN_OFFSETS = kernel_offsets(2)  # (8, 3): slot = 4*dx + 2*dy + dz
 
 
+def _xy_offsets(kernel_size: int) -> np.ndarray:
+    """(K^2, 2) (dx, dy) offsets in C-order; z is handled as contiguous columns."""
+    if kernel_size % 2 == 1:
+        r = kernel_size // 2
+        rng = range(-r, r + 1)
+    else:
+        rng = range(0, kernel_size)
+    return np.array(list(itertools.product(rng, repeat=2)), dtype=np.int32)
+
+
 def _build_kmap(in_keys: jnp.ndarray, out_coords_t: jnp.ndarray, out_mask: jnp.ndarray,
-                offsets: np.ndarray, scale: int, pack: PackSpec) -> jnp.ndarray:
+                xy_offsets: np.ndarray, kz: int, z_start: int, scale: int,
+                pack: PackSpec) -> jnp.ndarray:
     """Gather map: for output voxel o and offset d, the position in the sorted
     input key array holding coordinate scale*o + d (sentinel len(in_keys) when
-    absent/padded).
+    absent/padded).  Returns (len(xy_offsets) * kz, C) int32, rows in C-order
+    (dx, dy, dz) matching kernel_offsets().
 
-    out_coords_t: (3, C); offsets: (K, 3). Returns (K, C) int32.
-    Query tensor is laid out (3, K, C) — large axes last (TPU tiling)."""
+    Implementation: plain per-offset bucketed compare-all lookup
+    (packing.lookup_sorted).  Measured ~8 ns per query on v5e — gather-bound;
+    z-run window variants and per-query binary search were tried and measured
+    1.7x / 12x slower (TPU gathers cost the same regardless of size, and extra
+    layout ops eat the savings)."""
     n_in = in_keys.shape[0]
-    offsets_t = jnp.asarray(offsets.T)  # (3, K)
-    q = scale * out_coords_t[:, None, :] + offsets_t[:, :, None]  # (3, K, C)
-    qmask = jnp.broadcast_to(out_mask[None, :], q.shape[1:])
-    qkeys = pack_keys(q, qmask, pack)
-    return lookup_sorted(in_keys, qkeys, sentinel=n_in)
+    bx, by, bz = pack.bits
+    ox, oy, oz = pack.offsets
+    kxy = len(xy_offsets)
+    c = out_coords_t.shape[1]
+    dxs = jnp.asarray(xy_offsets[:, 0])[:, None]  # (Kxy, 1)
+    dys = jnp.asarray(xy_offsets[:, 1])[:, None]
+    dzs = jnp.arange(z_start, z_start + kz, dtype=jnp.int32)
+    x = scale * out_coords_t[0][None, :] + dxs + ox     # (Kxy, C)
+    y = scale * out_coords_t[1][None, :] + dys + oy     # (Kxy, C)
+    z = (scale * out_coords_t[2] + oz)[None, None, :] + dzs[None, :, None]  # (1,kz,C)
+    xyok = (x >= 0) & (x < (1 << bx)) & (y >= 0) & (y < (1 << by))
+    zok = (z >= 0) & (z < (1 << bz))
+    ok = xyok[:, None, :] & zok & out_mask[None, None, :]
+    key = ((x << (by + bz)) | (y << bz))[:, None, :] | z  # (Kxy, kz, C)
+    key = jnp.where(ok, key, MAXKEY)
+    out = lookup_sorted(in_keys, key, sentinel=n_in)
+    return out.reshape(kxy * kz, c)
 
 
 def _build_pyramid_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
-                          spec: PyramidSpec) -> Tuple[Level, ...]:
+                          spec: PyramidSpec,
+                          keys0: jnp.ndarray | None = None) -> Tuple[Level, ...]:
     """Per-cloud pyramid builder (vmapped over batch by build_pyramid).
 
-    Level 0 is re-canonicalized (sorted by packed key, deduped); Level.source_index
-    maps each level-0 row back to the input row of coords0_t."""
-    conv0_offsets = kernel_offsets(spec.conv0_kernel_size)
-    self_offsets = kernel_offsets(spec.block_kernel_size)
-    pack = spec.pack
+    If keys0 is given, level 0 is taken as already canonical (sorted unique keys
+    with MAXKEY padding — exactly a Quantizer.quantize output) and no level-0
+    dedup happens.  Otherwise level 0 is re-canonicalized and (when
+    spec.need_source_index) Level.source_index maps level-0 rows to input rows.
 
-    u0 = sorted_unique(coords0_t, mask0, spec.capacities[0], pack)
-
-    coords = [u0.coords_t]
-    masks = [u0.mask]
-    keys = [u0.keys]
+    Down levels dedup with a cheap single-operand sort of halve_keys output
+    (halving does not preserve order; see packing.halve_keys).
+    """
+    source_index = None
+    if keys0 is not None:
+        coords = [coords0_t]
+        masks = [mask0]
+        keys = [keys0]
+    else:
+        u0 = sorted_unique(coords0_t, mask0, spec.capacities[0], spec.pack,
+                           need_index=spec.need_source_index)
+        coords = [u0.coords_t]
+        masks = [u0.mask]
+        keys = [u0.keys]
+        if spec.need_source_index:
+            source_index = u0.index
     n_uniques = [jnp.asarray(n_unique0, jnp.int32)]
-    source_index = u0.index
 
     for l in range(1, spec.num_levels + 1):
-        down = coords[l - 1] // 2  # floor division (negatives floor)
-        u = sorted_unique(down, masks[l - 1], spec.capacities[l], pack)
+        down_keys = halve_keys(keys[l - 1], spec.pack_at(l - 1))
+        # NOTE: halving does NOT preserve sortedness (collapsing a higher field
+        # makes the comparison fall through to lower fields), so a re-sort is
+        # needed — but single-operand (need_index=False) and on the already
+        # capacity-bounded arrays, so it's cheap.
+        u = sorted_unique(None, None, spec.capacities[l], spec.pack_at(l),
+                          keys=down_keys, need_index=False)
         coords.append(u.coords_t)
         masks.append(u.mask)
         keys.append(u.keys)
@@ -131,22 +186,28 @@ def _build_pyramid_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
 
     levels = []
     for l in range(spec.num_levels + 1):
+        pack_l = spec.pack_at(l)
         kmap_self = None
         if l == 0:
-            kmap_self = _build_kmap(keys[0], coords[0], masks[0], conv0_offsets, 1, pack)
+            k = spec.conv0_kernel_size
+            kmap_self = _build_kmap(keys[0], coords[0], masks[0], _xy_offsets(k),
+                                    k, -(k // 2), 1, pack_l)
         elif l in spec.self_levels:
-            kmap_self = _build_kmap(keys[l], coords[l], masks[l], self_offsets, 1, pack)
+            k = spec.block_kernel_size
+            kmap_self = _build_kmap(keys[l], coords[l], masks[l], _xy_offsets(k),
+                                    k, -(k // 2), 1, pack_l)
 
         kmap_down = None
         if l >= 1:
-            kmap_down = _build_kmap(keys[l - 1], coords[l], masks[l], DOWN_OFFSETS, 2, pack)
+            kmap_down = _build_kmap(keys[l - 1], coords[l], masks[l], _xy_offsets(2),
+                                    2, 0, 2, spec.pack_at(l - 1))
 
         up_parent = None
         up_koffset = None
         if l in spec.up_levels:
             assert l + 1 <= spec.num_levels, "up_level must have a parent level"
             parent_q = coords[l] // 2
-            qkeys = pack_keys(parent_q, masks[l], pack)
+            qkeys = pack_keys(parent_q, masks[l], spec.pack_at(l + 1))
             up_parent = lookup_sorted(keys[l + 1], qkeys, sentinel=spec.capacities[l + 1])
             bits = coords[l] - 2 * parent_q  # (3, C) in {0, 1}
             up_koffset = (4 * bits[0] + 2 * bits[1] + bits[2]).astype(jnp.int32)
@@ -167,18 +228,24 @@ def _build_pyramid_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
 
 
 def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
-                  n_unique0=None) -> Pyramid:
+                  n_unique0=None, keys0: jnp.ndarray | None = None) -> Pyramid:
     """Build the batched coordinate pyramid.
 
     coords0_t: (B, 3, C0) int32 level-0 voxel coords (from a Quantizer),
-    mask0 (B, C0).  Inputs need not be sorted or unique — level 0 is
-    re-canonicalized; Pyramid[0].source_index maps level-0 rows to input rows.
+    mask0 (B, C0).  Inputs need not be sorted or unique — unless keys0 (B, C0)
+    is passed (a Quantizer.quantize output), in which case level 0 is trusted
+    as canonical and no re-dedup happens.
     """
     if n_unique0 is None:
         n_unique0 = jnp.sum(mask0, axis=1).astype(jnp.int32)
-    levels = jax.vmap(lambda c, m, n: _build_pyramid_single(c, m, n, spec))(
-        coords0_t, mask0, n_unique0
-    )
+    if keys0 is not None:
+        levels = jax.vmap(
+            lambda c, m, n, k: _build_pyramid_single(c, m, n, spec, keys0=k)
+        )(coords0_t, mask0, n_unique0, keys0)
+    else:
+        levels = jax.vmap(lambda c, m, n: _build_pyramid_single(c, m, n, spec))(
+            coords0_t, mask0, n_unique0
+        )
     return Pyramid(levels=levels)
 
 
@@ -205,4 +272,5 @@ def egonn_pyramid_spec(cap0: int = 16384, num_levels: int = 7,
         block_kernel_size=3,
         self_levels=tuple(range(1, num_levels + 1)),
         up_levels=tuple(range(min_out_level, num_levels)),
+        need_source_index=False,
     )

@@ -169,6 +169,15 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     os.makedirs(weights_path, exist_ok=True)
     print(f"Model name: {model_name}")
 
+    if log_fn is None:
+        # wandb stand-in (reference training/trainer.py:106-111): JSONL metrics
+        # file, mirrored to wandb when configured
+        from egonn_tpu.utils.logging import MetricsLogger
+
+        cfg = {k: v for k, v in vars(params).items() if k != "model_params"}
+        logger = MetricsLogger(weights_path, model_name, config=cfg)
+        log_fn = logger.log
+
     num_points = params.model_params.num_points
 
     # datasets (reference datasets/dataset_utils.py:18-43)
@@ -215,9 +224,9 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     init_mask = np.zeros((2, num_points), bool)
     def _init_pyr(c, m):
         res = jax.vmap(
-            lambda pc, mm: built.quantizer.quantize(pc, mm, built.pyramid_spec.capacities[0])
+            lambda pc, mm: built.quantizer.quantize(pc, mm, built.pyramid_spec.capacities[0], need_index=False)
         )(c, m)
-        return build_pyramid(res.coords_t, res.mask, built.pyramid_spec)
+        return build_pyramid(res.coords_t, res.mask, built.pyramid_spec, keys0=res.keys)
 
     init_pyr = jax.jit(_init_pyr)(jnp.asarray(init_cloud), jnp.asarray(init_mask))
     variables = jax.jit(

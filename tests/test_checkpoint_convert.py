@@ -1,0 +1,137 @@
+"""Round-trip test for the reference-checkpoint converter: build a synthetic
+torch-style state_dict from our own initialized parameters (applying the inverse
+tensor transforms), convert it, and require exact recovery."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egonn_tpu.models.factory import create_egonn_model
+from egonn_tpu.ops.quantization import PolarQuantizer
+from egonn_tpu.sparse.pyramid import build_pyramid
+from egonn_tpu.utils.checkpoint_convert import (
+    convert_egonn_state_dict,
+    me_offset_permutation,
+)
+
+
+def test_offset_permutation_is_permutation():
+    for k in (2, 3, 5):
+        p = me_offset_permutation(k)
+        assert sorted(p.tolist()) == list(range(k**3))
+
+
+def test_offset_permutation_k3_known_entries():
+    # our C-order index 0 = offset (-1,-1,-1); ME index of it = 0+0*3+0*9 = 0
+    p = me_offset_permutation(3)
+    assert p[0] == 0
+    # our index 1 = (-1,-1,0): ME = 0 + 0*3 + 1*9 = 9
+    assert p[1] == 9
+    # our index 3 = (-1,0,-1): ME = 0 + 1*3 + 0*9 = 3
+    assert p[3] == 3
+
+
+@pytest.fixture(scope="module")
+def egonn_vars():
+    class MP:
+        model = "egonn"
+        quantizer = PolarQuantizer([2.0, 1.0, 0.5])
+        cap0 = 256
+
+    built = create_egonn_model(MP(), cap0=256)
+    coords = jnp.zeros((1, 3, 256), jnp.int32)
+    mask = jnp.zeros((1, 256), bool)
+    pyr = jax.jit(lambda c, m: build_pyramid(c, m, built.pyramid_spec))(coords, mask)
+    variables = jax.jit(
+        lambda k, p: built.model.init(k, p, built.quantizer, train=False)
+    )(jax.random.PRNGKey(0), pyr)
+    return built, jax.device_get(variables)
+
+
+def _inverse_state_dict(variables):
+    """Build the torch-style state_dict that converts back to `variables`."""
+    import itertools
+
+    p = variables["params"]
+    s = variables["batch_stats"]
+    sd = {}
+
+    def inv_conv(name, kernel):
+        kernel = np.asarray(kernel)
+        if kernel.ndim == 2:
+            sd[name] = kernel
+        else:
+            k = round(kernel.shape[0] ** (1 / 3))
+            assert k**3 == kernel.shape[0]
+            perm = me_offset_permutation(k)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            sd[name] = kernel[inv]
+
+    def inv_bn(prefix, params_bn, stats_bn):
+        sd[f"{prefix}.bn.weight"] = np.asarray(params_bn["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(params_bn["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(stats_bn["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(stats_bn["var"])
+
+    def inv_linear(prefix, lin):
+        sd[f"{prefix}.weight"] = np.asarray(lin["weight"]).T
+        if "bias" in lin:
+            sd[f"{prefix}.bias"] = np.asarray(lin["bias"])
+
+    tp, ts = p["trunk"], s["trunk"]
+    inv_conv("trunk.convs.0.kernel", tp["conv0"]["kernel"])
+    inv_bn("trunk.bn.0", tp["bn0"], ts["bn0"])
+    for i in range(1, 8):
+        inv_conv(f"trunk.convs.{i}.kernel", tp[f"conv{i}"]["kernel"])
+        inv_bn(f"trunk.bn.{i}", tp[f"bn{i}"], ts[f"bn{i}"])
+        bp, bs = tp[f"block{i}_0"], ts[f"block{i}_0"]
+        inv_conv(f"trunk.blocks.{i}.0.conv1.kernel", bp["conv1"]["kernel"])
+        inv_bn(f"trunk.blocks.{i}.0.norm1", bp["norm1"], bs["norm1"])
+        inv_conv(f"trunk.blocks.{i}.0.conv2.kernel", bp["conv2"]["kernel"])
+        inv_bn(f"trunk.blocks.{i}.0.norm2", bp["norm2"], bs["norm2"])
+        if "eca" in bp:
+            sd[f"trunk.blocks.{i}.0.eca.conv.weight"] = np.asarray(bp["eca"]["conv"])[None, None]
+        if "downsample_conv" in bp:
+            inv_conv(f"trunk.blocks.{i}.0.downsample.0.kernel",
+                     bp["downsample_conv"]["kernel"])
+            inv_bn(f"trunk.blocks.{i}.0.downsample.1", bp["downsample_norm"],
+                   bs["downsample_norm"])
+
+    for head, levels in (("global_head", (5, 6, 7)), ("local_head", (3, 4))):
+        hp = p[head]
+        for lvl in levels:
+            inv_conv(f"{head}.conv1x1.{lvl}.kernel", hp[f"conv1x1_{lvl}"]["kernel"])
+        for lvl in range(min(levels) + 1, max(levels) + 1):
+            inv_conv(f"{head}.tconv.{lvl}.kernel", hp[f"tconv_{lvl}"]["kernel"])
+
+    for mod in ("global_descriptor_decoder", "local_descriptor_decoder",
+                "local_keypoint_regressor", "local_sigma_regressor"):
+        inv_linear(f"{mod}.net.0.linear", p[mod]["fc1"])
+        inv_linear(f"{mod}.net.2.linear", p[mod]["fc2"])
+    sd["global_pooling.pooling.p"] = np.asarray(p["global_pooling"]["gem"]["p"])
+    return sd
+
+
+def test_convert_roundtrip(egonn_vars):
+    built, variables = egonn_vars
+    sd = _inverse_state_dict(variables)
+    converted = convert_egonn_state_dict(sd)
+
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(variables["params"])
+    flat_conv = dict(jax.tree_util.tree_flatten_with_path(converted["params"])[0])
+    flat_conv = {jax.tree_util.keystr(k): v for k, v in flat_conv.items()}
+    for path, val in flat_ref:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_conv, f"missing converted param {key}"
+        np.testing.assert_allclose(flat_conv[key], np.asarray(val), atol=0,
+                                   err_msg=key)
+    # batch stats too
+    flat_ref_s, _ = jax.tree_util.tree_flatten_with_path(variables["batch_stats"])
+    flat_conv_s = dict(jax.tree_util.tree_flatten_with_path(converted["batch_stats"])[0])
+    flat_conv_s = {jax.tree_util.keystr(k): v for k, v in flat_conv_s.items()}
+    for path, val in flat_ref_s:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_conv_s, f"missing converted stat {key}"
+        np.testing.assert_allclose(flat_conv_s[key], np.asarray(val), atol=0,
+                                   err_msg=key)
