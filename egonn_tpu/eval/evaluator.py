@@ -45,7 +45,8 @@ class Evaluator:
 
     def __init__(self, dataset_root: str, dataset_type: str, eval_set_pickle: str,
                  built: BuiltModel, num_points: int = 65536, batch_size: int = 8,
-                 radius=(5, 20), k: int = 50, debug: bool = False):
+                 radius=(5, 20), k: int = 50, debug: bool = False,
+                 n_samples: int | None = None):
         self.dataset_root = dataset_root
         self.dataset_type = dataset_type
         self.built = built
@@ -60,6 +61,13 @@ class Evaluator:
         if debug:
             self.eval_set.map_set = self.eval_set.map_set[:4]
             self.eval_set.query_set = self.eval_set.query_set[:4]
+        if n_samples is not None and len(self.eval_set.query_set) > n_samples:
+            # subsample queries for in-training eval (reference trainer passes
+            # n_samples=100 — training/trainer.py:99-102)
+            step = len(self.eval_set.query_set) / n_samples
+            self.eval_set.query_set = [
+                self.eval_set.query_set[int(i * step)] for i in range(n_samples)
+            ]
         self.pc_loader = get_pointcloud_loader(dataset_type)
         self._forward = None
 

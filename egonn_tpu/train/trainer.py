@@ -293,6 +293,25 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
 
         state = state.replace(epoch=state.epoch + 1)
 
+        # periodic in-training evaluation on the test set (reference :258-265)
+        if params.test_file and epoch % 10 == 0:
+            try:
+                from egonn_tpu.eval.evaluator import GLEvaluator
+
+                ev = GLEvaluator(params.dataset_folder, dataset_type,
+                                 params.test_file, built, num_points=num_points,
+                                 k=20, n_samples=100, n_k=(128,))
+                gm, lm = ev.evaluate(
+                    {"params": state.params, "batch_stats": state.batch_stats})
+                ev.print_results(gm, lm)
+                if log_fn is not None:
+                    log_fn({"epoch": epoch, "test": {
+                        "recall@1": {r: float(v[0]) for r, v in gm["recall"].items()},
+                        **{f"local_{k}": v for k, v in lm.get(128, {}).items()},
+                    }})
+            except Exception as e:  # eval must never kill training
+                print(f"WARNING: in-training eval failed: {e}")
+
         if epoch % params.save_freq == 0:
             save_checkpoint(os.path.join(weights_path, model_name), state, epoch)
 
