@@ -99,7 +99,7 @@ def create_minkloc_model(model_params: ModelParams, cap0: int | None = None,
         conv0_kernel_size=conv0,
         block_kernel_size=3,
         self_levels=tuple(range(1, num_levels + 1)),
-        up_levels=tuple(range(num_levels - num_top_down, num_levels)),
+        up_levels=tuple(range(0, num_levels)),
     )
     return BuiltModel(model, model_params.quantizer, spec, "minkloc")
 

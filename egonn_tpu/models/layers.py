@@ -55,7 +55,9 @@ class SparseConv(nn.Module):
     kaiming: bool = False  # trunk convs get kaiming fan_out re-init
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, kmap: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, kmap: jnp.ndarray,
+                 up_parent: jnp.ndarray | None = None,
+                 up_koffset: jnp.ndarray | None = None) -> jnp.ndarray:
         init = (
             kaiming_me(self.kernel_volume, self.out_channels)
             if self.kaiming
@@ -68,6 +70,12 @@ class SparseConv(nn.Module):
             # all-ones single-channel input: occupancy fast path (EgoNN stem)
             n_in = kmap.shape[-1]  # self-map: C_in == C_out
             return sconv.sparse_conv_ones(kmap, kernel, n_in)
+        if up_parent is not None:
+            # k=2 s=2 downsampling conv: gather-only backward via the up map
+            return sconv.sparse_conv_down(feats, kmap, up_parent, up_koffset, kernel)
+        if self.kernel_volume in (27, 125, 343):
+            # symmetric odd self-kernel: gather-only backward via offset reversal
+            return sconv.sparse_conv_sym(feats, kmap, kernel)
         return sconv.sparse_conv(feats, kmap, kernel)
 
 
@@ -97,10 +105,15 @@ class SparseConvTranspose2x2(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, fine_level: Level) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, fine_level: Level,
+                 coarse_level: Level | None = None) -> jnp.ndarray:
         # ME transpose init: n = out_channels * kernel_volume
         init = _uniform(1.0 / math.sqrt(max(1, self.out_channels * 8)))
         kernel = self.param("kernel", init, (8, self.in_channels, self.out_channels))
+        if coarse_level is not None and coarse_level.kmap_down is not None:
+            return sconv.sparse_tconv2x2_vjp(
+                feats, fine_level.up_parent, fine_level.up_koffset,
+                coarse_level.kmap_down, kernel)
         return sconv.sparse_tconv2x2(feats, fine_level.up_parent, fine_level.up_koffset, kernel)
 
 

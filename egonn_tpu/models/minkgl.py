@@ -69,8 +69,9 @@ class MinkTrunk(nn.Module):
         out: Dict[int, jnp.ndarray] = {}
         for i, (plane, n_blocks) in enumerate(zip(self.planes, self.layers), start=1):
             lvl = pyramid[i]
+            prev = pyramid[i - 1]
             x = SparseConv(inplanes, inplanes, 8, kaiming=True, name=f"conv{i}")(
-                x, lvl.kmap_down
+                x, lvl.kmap_down, prev.up_parent, prev.up_koffset
             )
             x = SparseBatchNorm(inplanes, name=f"bn{i}")(x, lvl.mask, train)
             x = nn.relu(x)
@@ -105,7 +106,7 @@ class MinkHead(nn.Module):
         for level in range(max_level - 1, min_level - 1, -1):
             y = SparseConvTranspose2x2(
                 self.out_channels, self.out_channels, name=f"tconv_{level + 1}"
-            )(y, pyramid[level])
+            )(y, pyramid[level], pyramid[level + 1])
             if level in in_d:
                 lateral = SparseConv1x1(
                     in_d[level], self.out_channels, name=f"conv1x1_{level}"

@@ -58,7 +58,9 @@ class MinkFPN(nn.Module):
         for ndx, (plane, n_blocks) in enumerate(zip(self.planes, self.layers)):
             level = ndx + 1
             lvl = pyramid[level]
-            x = SparseConv(inplanes, inplanes, 8, name=f"conv{level}")(x, lvl.kmap_down)
+            prev = pyramid[level - 1]
+            x = SparseConv(inplanes, inplanes, 8, name=f"conv{level}")(
+                x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
             x = SparseBatchNorm(inplanes, name=f"bn{level}")(x, lvl.mask, train)
             x = nn.relu(x)
             for j in range(n_blocks):
@@ -85,7 +87,8 @@ class MinkFPN(nn.Module):
         for ndx in range(ntd):
             level -= 1
             x = SparseConvTranspose2x2(self.out_channels, self.out_channels,
-                                       name=f"tconv{ndx}")(x, pyramid[level])
+                                       name=f"tconv{ndx}")(x, pyramid[level],
+                                                           pyramid[level + 1])
             lat_level, lat_feats, lat_ch = feature_maps[-ndx - 1]
             assert lat_level == level
             x = x + SparseConv1x1(lat_ch, self.out_channels,

@@ -77,7 +77,9 @@ class ResNetBase(nn.Module):
         out: Dict[int, jnp.ndarray] = {}
         for i, (plane, n_blocks) in enumerate(zip(self.planes, self.layers), start=1):
             lvl = pyramid[i]
-            x = SparseConv(inplanes, inplanes, 8, name=f"conv{i}")(x, lvl.kmap_down)
+            prev = pyramid[i - 1]
+            x = SparseConv(inplanes, inplanes, 8, name=f"conv{i}")(
+                x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
             x = SparseBatchNorm(inplanes, name=f"bn{i}")(x, lvl.mask, train)
             x = nn.relu(x)
             for j in range(n_blocks):

@@ -156,7 +156,8 @@ def halved_spec(spec: PackSpec) -> PackSpec:
 
 
 def lookup_sorted(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray,
-                  sentinel: int, bucket: int = 64) -> jnp.ndarray:
+                  sentinel: int, bucket: int = 64,
+                  chunk: int = 1 << 14) -> jnp.ndarray:
     """Find positions of query keys in a MAXKEY-padded sorted key array.
 
     Returns int32 indices; missing/invalid queries get `sentinel`
@@ -179,13 +180,29 @@ def lookup_sorted(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray,
 
     qshape = query_keys.shape
     q = query_keys.reshape(-1)
-    # bucket index = (# boundaries <= q) - 1, clamped
-    cnt = jnp.sum(boundaries[None, :] <= q[:, None], axis=1).astype(jnp.int32)
-    b = jnp.clip(cnt - 1, 0, nb - 1)
-    rows = table[b]  # (M, bucket) contiguous row gather
-    eq = rows == q[:, None]
-    found = jnp.any(eq, axis=1) & (q != MAXKEY)
-    within = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    pos = b * bucket + within
-    return jnp.where(found, pos, sentinel).reshape(qshape)
+    m = q.shape[0]
+
+    def body(qc):
+        # bucket index = (# boundaries <= q) - 1, clamped
+        cnt = jnp.sum(boundaries[None, :] <= qc[:, None], axis=1).astype(jnp.int32)
+        b = jnp.clip(cnt - 1, 0, nb - 1)
+        rows = table[b]  # (chunk, bucket) contiguous row gather
+        eq = rows == qc[:, None]
+        found = jnp.any(eq, axis=1) & (qc != MAXKEY)
+        within = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        pos = b * bucket + within
+        return jnp.where(found, pos, sentinel)
+
+    if m <= chunk:
+        return body(q).reshape(qshape)
+    # The (M, bucket) row-gather intermediate materializes (~M*bucket*4 bytes);
+    # under vmap the batch axis rides INSIDE the map body, so the live chunk is
+    # B*chunk*bucket*4 bytes — 2 GB at the reference's max batch 128 with the
+    # default chunk.  Without chunking, a batch-128 train step tried to allocate
+    # 67 GB here (observed OOM).
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    qp = jnp.concatenate([q, jnp.full((pad,), MAXKEY, q.dtype)])
+    out = jax.lax.map(body, qp.reshape(n_chunks, chunk))
+    return out.reshape(-1)[:m].reshape(qshape)
 

@@ -271,6 +271,7 @@ def egonn_pyramid_spec(cap0: int = 16384, num_levels: int = 7,
         conv0_kernel_size=5,
         block_kernel_size=3,
         self_levels=tuple(range(1, num_levels + 1)),
-        up_levels=tuple(range(min_out_level, num_levels)),
+        up_levels=tuple(range(0, num_levels)),  # all: the down-conv backward
+        # uses the up map of the finer level (gather-only transpose)
         need_source_index=False,
     )

@@ -189,3 +189,57 @@ def test_pyramid_jits(rng):
     pyr, _, _, _ = build(coords, mask, spec)
     assert pyr.num_levels == 3
     assert pyr[2].coords.shape == (2, 3, 64)
+
+
+def test_custom_vjp_grads_match_autodiff(rng):
+    """The gather-only backwards (sym/down/tconv) must equal plain autodiff."""
+    from egonn_tpu.sparse.conv import (
+        sparse_conv_down,
+        sparse_conv_sym,
+        sparse_tconv2x2_vjp,
+    )
+
+    b, cap, f_in, f_out = 2, 64, 4, 6
+    coords, mask = make_voxels(rng, b, cap)
+    spec = spec_for(cap, num_levels=1)
+    pyr, l0c, l0m, src = build(coords, mask, spec)
+    feats = jnp.asarray(
+        (rng.standard_normal((b, cap, f_in)) * l0m[..., None]).astype(np.float32))
+    k27 = jnp.asarray(rng.standard_normal((27, f_in, f_out)).astype(np.float32))
+    k8 = jnp.asarray(rng.standard_normal((8, f_in, f_out)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((b, cap, f_out)).astype(np.float32))
+
+    # symmetric self conv
+    g1 = jax.grad(lambda f, k: jnp.sum(sparse_conv(f, pyr[0].kmap_self, k) * cot),
+                  argnums=(0, 1))(feats, k27)
+    g2 = jax.grad(lambda f, k: jnp.sum(sparse_conv_sym(f, pyr[0].kmap_self, k) * cot),
+                  argnums=(0, 1))(feats, k27)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4)
+
+    # down conv
+    g1 = jax.grad(lambda f, k: jnp.sum(sparse_conv(f, pyr[1].kmap_down, k) * cot),
+                  argnums=(0, 1))(feats, k8)
+    g2 = jax.grad(
+        lambda f, k: jnp.sum(
+            sparse_conv_down(f, pyr[1].kmap_down, pyr[0].up_parent,
+                             pyr[0].up_koffset, k) * cot),
+        argnums=(0, 1))(feats, k8)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4)
+
+    # transposed conv
+    feats1 = jnp.asarray(
+        (rng.standard_normal((b, cap, f_in)) * np.asarray(pyr[1].mask)[..., None]
+         ).astype(np.float32))
+    g1 = jax.grad(
+        lambda f, k: jnp.sum(
+            sparse_tconv2x2(f, pyr[0].up_parent, pyr[0].up_koffset, k) * cot),
+        argnums=(0, 1))(feats1, k8)
+    g2 = jax.grad(
+        lambda f, k: jnp.sum(
+            sparse_tconv2x2_vjp(f, pyr[0].up_parent, pyr[0].up_koffset,
+                                pyr[1].kmap_down, k) * cot),
+        argnums=(0, 1))(feats1, k8)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4)
