@@ -145,11 +145,20 @@ class Evaluator:
         one_percent_recall = {r: 0.0 for r in self.radius}
         top1_ndx = np.zeros(len(query_emb), dtype=np.int64)
 
-        dist = np.linalg.norm(
-            query_emb[:, None].astype(np.float64) - map_emb[None].astype(np.float64),
-            axis=-1,
-        )
-        nn_ndx = np.argsort(dist, axis=1)[:, : max(k, threshold)]
+        kk = max(k, threshold)
+        if len(map_emb) * len(query_emb) > 4_000_000:
+            # large sets: device matmul + top-k (ops/knn.py)
+            from egonn_tpu.ops.knn import topk_l2
+
+            nn_ndx = topk_l2(map_emb, query_emb, kk)
+        else:
+            # small sets: host float64 brute force (reference :175-176 parity)
+            dist = np.linalg.norm(
+                query_emb[:, None].astype(np.float64)
+                - map_emb[None].astype(np.float64),
+                axis=-1,
+            )
+            nn_ndx = np.argsort(dist, axis=1)[:, :kk]
         top1_ndx = nn_ndx[:, 0]
         for i in range(len(query_emb)):
             geo = np.linalg.norm(map_pos[nn_ndx[i]] - query_pos[i], axis=1)
