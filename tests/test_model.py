@@ -127,3 +127,25 @@ def test_minkloc_forward():
     y = jax.jit(lambda v, p: built.model.apply(v, p, q, train=False))(variables, pyr)
     assert y["global"].shape == (1, 256)
     assert np.isfinite(np.asarray(y["global"])).all()
+
+
+def test_minkloc_full_topdown():
+    """num_top_down == num_bottom_up: the last lateral comes from conv0
+    (reference models/minkfpn.py:54-61,72-73)."""
+    mp = _MP(model="MinkLoc")
+    mp.num_top_down = 3
+    built = create_minkloc_model(mp, cap0=512)
+    spec = built.pyramid_spec
+    rng = np.random.default_rng(2)
+    clouds = np.stack([synth_cloud(rng, 1024)])
+    q = built.quantizer
+    res = jax.jit(
+        jax.vmap(lambda p: q.quantize(p, jnp.ones(p.shape[0], bool), spec.capacities[0]))
+    )(jnp.asarray(clouds))
+    pyr = jax.jit(lambda c, m: build_pyramid(c, m, spec))(res.coords_t, res.mask)
+    variables = jax.jit(lambda k, p: built.model.init(k, p, q, train=False))(
+        jax.random.PRNGKey(0), pyr
+    )
+    y = jax.jit(lambda v, p: built.model.apply(v, p, q, train=False))(variables, pyr)
+    assert y["global"].shape == (1, 256)
+    assert np.isfinite(np.asarray(y["global"])).all()
