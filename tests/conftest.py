@@ -5,14 +5,14 @@ placement and the sitecustomize-style ordering.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import jax  # noqa: E402
+# The axon sitecustomize registers a TPU backend in every python process and
+# env vars (JAX_PLATFORMS / XLA_FLAGS force_host_platform_device_count) are
+# overridden by it under this JAX version — the config API before backend
+# init is the only route that actually yields 8 CPU devices (verified).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # The environment defaults to degraded (bf16-class) matmul precision, matching the
 # TPU MXU's native pass. Golden numeric tests need true f32 accumulation.
