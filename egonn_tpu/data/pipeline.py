@@ -58,16 +58,51 @@ class LocalBatch:
     t_gt: np.ndarray         # (B, 4, 4) float32
 
 
+# Drop accounting for overlong clouds (mirrors the per-level voxel-overflow
+# `Level.n_unique` diagnostics): total clouds truncated / points dropped since
+# process start.  Read via pad_cloud_drop_stats(); a one-time warning fires on
+# the first truncation so silent subsampling can't go unnoticed.
+_DROP_STATS = {"clouds_truncated": 0, "points_dropped": 0, "warned": False}
+
+
+def pad_cloud_drop_stats() -> dict:
+    return dict(_DROP_STATS)
+
+
+def default_num_points(dataset_type: str) -> int:
+    """Per-dataset point budget: KITTI velodyne scans are ~120-130k points before
+    ground/zero filtering; MulRan/SouthBay fit in 65536."""
+    return 131072 if dataset_type.lower() == "kitti" else 65536
+
+
+def resolve_num_points(model_params, dataset_type: str) -> int:
+    """Config-explicit num_points wins; otherwise the per-dataset default."""
+    if getattr(model_params, "num_points_explicit", True):
+        return model_params.num_points
+    return default_num_points(dataset_type)
+
+
 def pad_cloud(pc: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Pad/trim an (M, 3) cloud to (n, 3) + mask.  Overlong clouds are randomly
-    subsampled (deterministic per length via a local RNG seeded by M)."""
+    subsampled; the RNG is seeded from the cloud's content (not just its length,
+    which collides across distinct scans of equal size) so the pattern is
+    deterministic per scan.  Truncations are counted in _DROP_STATS."""
     m = len(pc)
     out = np.zeros((n, 3), dtype=np.float32)
     mask = np.zeros((n,), dtype=bool)
     if m > n:
-        sel = np.random.default_rng(m).choice(m, n, replace=False)
+        seed = [m, int(abs(float(pc[0, 0])) * 1e6) % (1 << 31),
+                int(abs(float(pc[m // 2, 1])) * 1e6) % (1 << 31)]
+        sel = np.random.default_rng(seed).choice(m, n, replace=False)
         out[:] = pc[sel]
         mask[:] = True
+        _DROP_STATS["clouds_truncated"] += 1
+        _DROP_STATS["points_dropped"] += m - n
+        if not _DROP_STATS["warned"]:
+            _DROP_STATS["warned"] = True
+            print(f"WARNING: cloud with {m} points subsampled to the {n}-point "
+                  "budget; raise num_points ([TPU] section) if this is a "
+                  "reference dataset envelope (KITTI needs 131072)")
     else:
         out[:m] = pc
         mask[:m] = True

@@ -69,7 +69,7 @@ class Evaluator:
                 self.eval_set.query_set[int(i * step)] for i in range(n_samples)
             ]
         self.pc_loader = get_pointcloud_loader(dataset_type)
-        self._forward = None
+        self._forward = {}  # keyed by with_local — the two jits differ
 
     # ---------- embedding computation ----------
 
@@ -94,9 +94,9 @@ class Evaluator:
         """Returns dict of stacked numpy outputs for all elements of the subset."""
         import os
 
-        if self._forward is None:
-            self._forward = self._make_forward(with_local)
-        fwd = self._forward
+        if with_local not in self._forward:
+            self._forward[with_local] = self._make_forward(with_local)
+        fwd = self._forward[with_local]
         bs = self.batch_size
         outs: Dict[str, List[np.ndarray]] = {}
         for start in range(0, len(eval_subset), bs):
@@ -257,47 +257,69 @@ class GLEvaluator(Evaluator):
         res = jax.device_get(res)
         t_ransac = (time.time() - t0) / max(len(qi), 1)
 
-        # ground-truth relative poses (optionally ICP-refined: refines the GT,
-        # reference :216-236)
+        # ground-truth relative poses; with icp_refine the GT is additionally
+        # ICP-refined and metrics are reported vs BOTH poses, exactly as the
+        # reference does (eval/evaluate.py:236-275: repeatability vs T_gt AND
+        # T_refined; rte/rre/success vs T_gt, plus *_refined when refining)
+        def _pose_errors(t_est, t_ref):
+            rte_j = float(np.linalg.norm(t_est[:3, 3] - t_ref[:3, 3]))
+            rre_j = float(rotation_error_deg(jnp.asarray(t_est[:3, :3]),
+                                             jnp.asarray(t_ref[:3, :3])))
+            return rte_j, rre_j
+
+        def _repeatability(j, t_ref):
+            # keypoint repeatability under a reference transform (ref :402-411)
+            kp1t = kp1[j] @ t_ref[:3, :3].T + t_ref[:3, 3]
+            dmat = np.linalg.norm(kp1t[:, None] - kp2[j][None], axis=-1)
+            dmat[~m1[j]] = np.inf
+            dmat[:, ~m2[j]] = np.inf
+            return (float(np.mean(dmat.min(axis=1)[m1[j]] <= self.repeat_dist_th))
+                    if m1[j].any() else 0.0)
+
         rte, rre, success, repeat = [], [], [], []
+        rte_r, rre_r, success_r, repeat_r = [], [], [], []
         for j, (q, m) in enumerate(zip(qi, mi)):
             t_gt = self._gt_relative_pose(
                 self.eval_set.query_set[q].pose, self.eval_set.map_set[m].pose
             )
-            if self.icp_refine:
-                t_gt = self._icp_refine_gt(q, m, t_gt)
+            t_refined = self._icp_refine_gt(q, m, t_gt) if self.icp_refine else t_gt
             t_est = res.transform[j]
-            rte_j = np.linalg.norm(t_est[:3, 3] - t_gt[:3, 3])
-            rre_j = float(
-                rotation_error_deg(jnp.asarray(t_est[:3, :3]),
-                                   jnp.asarray(t_gt[:3, :3]))
-            )
+            rte_j, rre_j = _pose_errors(t_est, t_gt)
             rte.append(rte_j)
             rre.append(rre_j)
             success.append(rte_j <= self.rte_th and rre_j <= self.rre_th)
-            # keypoint repeatability under the GT transform (reference :402-411)
-            kp1t = kp1[j] @ t_gt[:3, :3].T + t_gt[:3, 3]
-            dmat = np.linalg.norm(kp1t[:, None] - kp2[j][None], axis=-1)
-            dmat[~m1[j]] = np.inf
-            dmat[:, ~m2[j]] = np.inf
-            repeat.append(float(np.mean(dmat.min(axis=1)[m1[j]] <= self.repeat_dist_th))
-                          if m1[j].any() else 0.0)
+            repeat.append(_repeatability(j, t_gt))
+            repeat_r.append(_repeatability(j, t_refined))
+            if self.icp_refine:
+                rte_j, rre_j = _pose_errors(t_est, t_refined)
+                rte_r.append(rte_j)
+                rre_r.append(rre_j)
+                success_r.append(rte_j <= self.rte_th and rre_j <= self.rre_th)
 
-        success = np.asarray(success)
-        rte = np.asarray(rte)
-        rre = np.asarray(rre)
-        return {
+        def _summary(rte, rre, success, suffix=""):
+            success = np.asarray(success)
+            rte = np.asarray(rte)
+            rre = np.asarray(rre)
+            return {
+                f"success_rate{suffix}": float(np.mean(success)),
+                f"rte{suffix}": float(np.mean(rte[success])) if success.any() else float("nan"),
+                f"rre{suffix}": float(np.mean(rre[success])) if success.any() else float("nan"),
+                f"rte_all{suffix}": float(np.mean(rte)),
+                f"rre_all{suffix}": float(np.mean(rre)),
+            }
+
+        out = {
             "n_pairs": len(qi),
-            "success_rate": float(np.mean(success)),
-            "rte": float(np.mean(rte[success])) if success.any() else float("nan"),
-            "rre": float(np.mean(rre[success])) if success.any() else float("nan"),
-            "rte_all": float(np.mean(rte)),
-            "rre_all": float(np.mean(rre)),
+            **_summary(rte, rre, success),
             "repeatability": float(np.mean(repeat)),
+            "repeatability_refined": float(np.mean(repeat_r)),
             "t_ransac": t_ransac,
             "mean_inliers": float(np.mean(res.n_inliers)),
             "mean_matches": float(np.mean(res.n_matches)),
         }
+        if self.icp_refine:
+            out.update(_summary(rte_r, rre_r, success_r, suffix="_refined"))
+        return out
 
     def _icp_refine_gt(self, q, m, t_gt):
         import os

@@ -50,8 +50,9 @@ class Bottleneck(nn.Module):
 class ResNetBase(nn.Module):
     """Stem + 4 stages over pyramid levels 1..4; returns {level: feats}.
 
-    planes/layers follow the torchvision convention; block is 'BasicBlock' or
-    'Bottleneck'.  The pyramid must provide self maps at levels 1..len(layers).
+    planes/layers follow the torchvision convention; block is 'BasicBlock',
+    'Bottleneck', or 'SEBottleneck' (reference layers/senet_block.py:92-132).
+    The pyramid must provide self maps at levels 1..len(layers).
     """
 
     in_channels: int
@@ -63,8 +64,14 @@ class ResNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, pyramid: Pyramid, feats0, train: bool) -> Dict[int, jnp.ndarray]:
-        block_cls = BasicBlock if self.block == "BasicBlock" else Bottleneck
-        expansion = 1 if self.block == "BasicBlock" else 4
+        if self.block == "BasicBlock":
+            block_cls, expansion = BasicBlock, 1
+        elif self.block == "SEBottleneck":
+            from egonn_tpu.models.senet import SEBottleneck
+
+            block_cls, expansion = SEBottleneck, 4
+        else:
+            block_cls, expansion = Bottleneck, 4
 
         x = SparseConv(self.in_channels, self.init_dim,
                        self.conv0_kernel_size ** 3, name="conv0")(

@@ -58,3 +58,35 @@ class SEBasicBlock(nn.Module):
         else:
             residual = feats
         return masked(nn.relu(out + residual), level.mask)
+
+
+class SEBottleneck(nn.Module):
+    """Bottleneck (1x1 -> 3^3 -> 1x1, expansion 4) + SE after conv3 (reference
+    layers/senet_block.py:92-132).  Interface matches models/resnet.Bottleneck."""
+
+    inplanes: int
+    planes: int
+    use_eca: bool = False  # ignored; interface parity
+    kaiming: bool = False
+    reduction: int = 16
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, level: Level, train: bool) -> jnp.ndarray:
+        out_ch = self.planes * self.expansion
+        out = SparseConv1x1(self.inplanes, self.planes, name="conv1")(feats)
+        out = SparseBatchNorm(self.planes, name="norm1")(out, level.mask, train)
+        out = nn.relu(out)
+        out = SparseConv(self.planes, self.planes, 27, name="conv2")(out, level.kmap_self)
+        out = SparseBatchNorm(self.planes, name="norm2")(out, level.mask, train)
+        out = nn.relu(out)
+        out = SparseConv1x1(self.planes, out_ch, name="conv3")(out)
+        out = SparseBatchNorm(out_ch, name="norm3")(out, level.mask, train)
+        out = SELayer(out_ch, reduction=self.reduction, name="se")(out, level.mask)
+        if self.inplanes != out_ch:
+            residual = SparseConv1x1(self.inplanes, out_ch, name="downsample_conv")(feats)
+            residual = SparseBatchNorm(out_ch, name="downsample_norm")(
+                residual, level.mask, train)
+        else:
+            residual = feats
+        return masked(nn.relu(out + residual), level.mask)

@@ -27,6 +27,17 @@ from egonn_tpu.losses.triplet import pairwise_l2
 
 BIG = 1e9
 
+# Geometry-critical matmuls are tiny ((N,3)x(3,3), (3,N)x(N,3)) but the TPU's
+# default matmul pass is bf16-class, which floors the recovered rotation at
+# ~1-2 deg RRE (measured on-chip) — a third of the 5-deg success budget.  Full
+# f32 costs nothing at these shapes.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _apply_t(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Transform points (N, 3) by a 4x4 pose at full precision."""
+    return jnp.matmul(p, m[:3, :3].T, precision=_HI) + m[:3, 3]
+
 
 def kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted rigid alignment: returns 4x4 T with q ~ R p + t.
@@ -38,12 +49,12 @@ def kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     mu_q = jnp.sum(q * wn, axis=0)
     pc = p - mu_p
     qc = q - mu_q
-    h = (pc * wn).T @ qc  # (3, 3)
+    h = jnp.matmul((pc * wn).T, qc, precision=_HI)  # (3, 3)
     u, s, vt = jnp.linalg.svd(h)
     d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
     diag = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
-    r = vt.T @ diag @ u.T
-    t = mu_q - r @ mu_p
+    r = jnp.matmul(jnp.matmul(vt.T, diag, precision=_HI), u.T, precision=_HI)
+    t = mu_q - jnp.matmul(r, mu_p, precision=_HI)
     m = jnp.eye(4).at[:3, :3].set(r).at[:3, 3].set(t)
     return m
 
@@ -109,10 +120,17 @@ def ransac_6dof(rng_key, kp1, desc1, mask1, kp2, desc2, mask2,
             (ep > edge_length_ratio * eq) & (eq > edge_length_ratio * ep)
         )
         m = kabsch(p3, q3, jnp.ones(3))
-        p_t = p @ m[:3, :3].T + m[:3, 3]
+        # Open3D distance checker ON THE SAMPLE: the 3 sampled correspondences
+        # must themselves be inliers of the candidate transform (reference
+        # eval/evaluate.py:394 CorrespondenceCheckerBasedOnDistance)
+        p3_t = _apply_t(p3, m)
+        sample_ok = jnp.all(
+            jnp.linalg.norm(p3_t - q3, axis=-1) <= distance_threshold
+        )
+        p_t = _apply_t(p, m)
         dist = jnp.linalg.norm(p_t - q, axis=-1)
         inl = valid & (dist <= distance_threshold)
-        score = jnp.where(ok & ratio_ok, jnp.sum(inl), -1)
+        score = jnp.where(ok & ratio_ok & sample_ok, jnp.sum(inl), -1)
         return score, m
 
     scores, ms = jax.vmap(hypothesis)(keys)
@@ -121,19 +139,19 @@ def ransac_6dof(rng_key, kp1, desc1, mask1, kp2, desc2, mask2,
 
     # refit on inliers (weighted Kabsch), a couple of rounds
     def refit(m, _):
-        p_t = p @ m[:3, :3].T + m[:3, 3]
+        p_t = _apply_t(p, m)
         dist = jnp.linalg.norm(p_t - q, axis=-1)
         w = (valid & (dist <= distance_threshold)).astype(jnp.float32)
         m2 = kabsch(p, q, w)
         # keep the refit only if it does not lose inliers
-        p_t2 = p @ m2[:3, :3].T + m2[:3, 3]
+        p_t2 = _apply_t(p, m2)
         d2 = jnp.linalg.norm(p_t2 - q, axis=-1)
         better = jnp.sum(valid & (d2 <= distance_threshold)) >= jnp.sum(w > 0)
         return jnp.where(better, m2, m), None
 
     m, _ = jax.lax.scan(refit, m, None, length=refine_iters)
 
-    p_t = p @ m[:3, :3].T + m[:3, 3]
+    p_t = _apply_t(p, m)
     dist = jnp.linalg.norm(p_t - q, axis=-1)
     inl = valid & (dist <= distance_threshold)
     n_inl = jnp.sum(inl)

@@ -1,4 +1,16 @@
-"""Device-side voxel hash tables: the TPU-native replacement for MinkowskiEngine's
+"""DEPRECATED on the hot path — kept as a measured design alternative + fixture.
+
+Device-side voxel hash tables were the first coordinate-engine design; they are
+superseded by the sort-based engine in sparse/packing.py (measured ~100x faster
+on TPU because parallel linear-probing insertion scatters collide and serialize
+— see PERFORMANCE.md design-space table).  Nothing on the model/train/eval path
+imports this module; it remains as (a) the reference implementation its tests
+golden-check packing.py against, and (b) documentation of why hash tables lose
+on TPU.
+
+Original design notes follow.
+
+Device-side voxel hash tables: the TPU-native replacement for MinkowskiEngine's
 coordinate manager (sparse_quantize dedup + kernel-map construction).
 
 TPU layout notes (the design is shaped by tile padding):

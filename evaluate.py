@@ -27,6 +27,13 @@ def main():
     parser.add_argument("--radius", nargs="+", type=float, default=[5, 20])
     parser.add_argument("--n_k", nargs="+", type=int, default=[128, 256])
     parser.add_argument("--icp_refine", action="store_true")
+    parser.add_argument("--ransac_hypotheses", type=int, default=1024,
+                        help="Parallel RANSAC hypotheses; 10240 matches the "
+                             "reference's 10k-iteration Open3D budget "
+                             "(eval/evaluate.py:396)")
+    parser.add_argument("--ignore_keypoint_regressor", action="store_true",
+                        help="Ablation: keypoints at supervoxel centres "
+                             "(reference eval/evaluate.py:468-469)")
     parser.add_argument("--global_only", action="store_true",
                         help="Skip the 6DoF local evaluation")
     parser.add_argument("--debug", action="store_true")
@@ -43,9 +50,19 @@ def main():
     from egonn_tpu.models.factory import model_factory
     from egonn_tpu.train.state import load_checkpoint
 
+    from egonn_tpu.data.pipeline import resolve_num_points
+
     model_params = ModelParams(args.model_config)
+    model_params.num_points = resolve_num_points(model_params, args.dataset_type)
+    model_params.num_points_explicit = True  # resolved; downstream uses as-is
     model_params.print()
     built = model_factory(model_params)
+    if args.ignore_keypoint_regressor:
+        import dataclasses
+
+        built = dataclasses.replace(
+            built, model=built.model.clone(ignore_keypoint_regressor=True))
+        print("Ignore keypoints regressor: True")
 
     if args.weights:
         state, step = load_checkpoint(args.weights)
@@ -84,7 +101,8 @@ def main():
         ev = GLEvaluator(args.dataset_root, args.dataset_type, args.eval_set_pickle,
                          built, num_points=model_params.num_points,
                          radius=args.radius, n_k=args.n_k,
-                         icp_refine=args.icp_refine, debug=args.debug)
+                         icp_refine=args.icp_refine, debug=args.debug,
+                         n_hypotheses=args.ransac_hypotheses)
         global_metrics, local_metrics = ev.evaluate(variables)
         ev.print_results(global_metrics, local_metrics)
 

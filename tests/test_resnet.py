@@ -21,7 +21,7 @@ def test_resnet_basic_and_bottleneck(rng):
         jnp.asarray(coords), jnp.asarray(mask)
     )
     feats0 = jnp.asarray(rng.standard_normal((1, cap, 4)).astype(np.float32))
-    for block, exp in (("BasicBlock", 1), ("Bottleneck", 4)):
+    for block, exp in (("BasicBlock", 1), ("Bottleneck", 4), ("SEBottleneck", 4)):
         net = ResNetBase(in_channels=4, planes=(8, 16, 16, 32), layers=(1, 1, 1, 1),
                          block=block, conv0_kernel_size=3, init_dim=8)
         variables = jax.jit(lambda k, p, f: net.init(k, p, f, False))(
