@@ -20,8 +20,31 @@ All functions are shape-static, differentiable, vmap/pjit-friendly.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Banded Pallas conv engine (sparse/banded.py): ~2x the gather path on v5e by
+# turning HBM row-gathers into in-VMEM one-hot MXU matmuls over sorted-key
+# bands.  Exact fallback built in (lax.cond when a band overflows its window).
+# Default on; EGONN_BANDED=0 reverts to the pure gather path (tests use that
+# for f32-exact golden comparisons — the banded path computes in bf16, which
+# matches the production default matmul precision but not precision=highest).
+USE_BANDED = os.environ.get("EGONN_BANDED", "1") == "1"
+
+
+def set_banded(enabled: bool) -> None:
+    """Toggle the banded conv engine (affects subsequent traces only)."""
+    global USE_BANDED
+    USE_BANDED = enabled
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _pad_zero_row(feats: jnp.ndarray) -> jnp.ndarray:
@@ -150,6 +173,11 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
     Returns (B, C_out, F_out); padding rows of the output coordinate set come out
     zero automatically (their kmap entries are all-sentinel).
     """
+    if USE_BANDED and _on_tpu():
+        from egonn_tpu.sparse.banded import banded_conv_pallas
+
+        return banded_conv_pallas(feats, kmap, kernel).astype(feats.dtype)
+
     feats_p = _pad_zero_row(feats)
     k = kernel.shape[0]
     c_out = kmap.shape[-1]

@@ -1,0 +1,102 @@
+"""Banded Pallas conv engine vs the plain gather path.
+
+The golden sparse-conv tests (test_sparse_conv.py) verify the gather path
+against brute force at f32 precision; this module verifies the banded engine
+(sparse/banded.py) agrees with the gather path.  On CPU the kernel runs in
+Pallas interpret mode, so shapes are kept small.
+
+The banded path computes in bf16 (matching the TPU MXU production pass), so
+comparisons are at bf16 tolerance against a bf16-quantized plain path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egonn_tpu.ops.quantization import PolarQuantizer
+from egonn_tpu.sparse.banded import (
+    _plain_gather_conv,
+    band_layout_union,
+    banded_conv_pallas,
+)
+from egonn_tpu.sparse.pyramid import egonn_pyramid_spec, build_pyramid
+
+
+def _real_pyramid(rng, b=2, n=4096, cap0=1024):
+    theta = rng.uniform(0, 2 * np.pi, (b, n))
+    r = np.abs(rng.normal(25, 18, (b, n))).clip(2, 80)
+    z = rng.uniform(-1, 10, (b, n))
+    clouds = jnp.asarray(
+        np.stack([r * np.cos(theta), r * np.sin(theta), z], -1).astype(np.float32)
+    )
+    mask = jnp.ones((b, n), bool)
+    q = PolarQuantizer([1.0, 0.3, 0.2])
+    spec = egonn_pyramid_spec(cap0=cap0, num_levels=3, min_out_level=1)
+    res = jax.vmap(lambda pc, mm: q.quantize(pc, mm, spec.capacities[0],
+                                             need_index=False))(clouds, mask)
+    return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
+
+
+def _plain_bf16(feats, kmap, kernel):
+    """Plain path with inputs quantized to bf16 — the banded path's numerics."""
+    f16 = feats.astype(jnp.bfloat16).astype(jnp.float32)
+    k16 = kernel.astype(jnp.bfloat16).astype(jnp.float32)
+    return _plain_gather_conv(f16, kmap, k16)
+
+
+def test_banded_matches_plain_on_real_bands(rng):
+    """On a real sorted-key pyramid the bands fit and the Pallas (interpret)
+    kernel reproduces the gather conv at bf16 tolerance."""
+    pyr = _real_pyramid(rng)
+    lvl = pyr[1]
+    kmap = lvl.kmap_self
+    c = kmap.shape[-1]
+    f = 16
+    feats = jnp.asarray(
+        (rng.standard_normal((2, c, f)) * np.asarray(lvl.mask)[..., None]
+         ).astype(np.float32)
+    )
+    kernel = jnp.asarray(rng.standard_normal((27, f, f)).astype(np.float32) * 0.2)
+
+    _, _, ok = band_layout_union(kmap, c, min(384, c), 128)
+    assert bool(ok), "real pyramid bands must fit the default sub-window"
+
+    got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
+    want = _plain_bf16(feats, kmap, kernel)
+    err = float(jnp.max(jnp.abs(got - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert err / scale < 3e-2, err / scale
+
+
+def test_banded_fallback_on_scattered_kmap(rng):
+    """A random (non-banded) kmap must trip the ok flag and produce EXACTLY the
+    plain path's output via the fallback branch."""
+    b, k, c = 2, 8, 512
+    kmap = jnp.asarray(rng.integers(0, c + 1, size=(b, k, c)).astype(np.int32))
+    feats = jnp.asarray(rng.standard_normal((b, c, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((k, 8, 8)).astype(np.float32))
+    _, _, ok = band_layout_union(kmap, c, 384, 128)
+    assert not bool(ok)
+    got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
+    want = _plain_gather_conv(feats, kmap, kernel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_banded_sentinel_rows_are_zero(rng):
+    """Outputs whose kmap entries are all-sentinel must come out exactly 0."""
+    b, k, c = 1, 8, 256
+    kmap = np.full((b, k, c), c, np.int32)
+    kmap[:, :, :128] = rng.integers(0, 16, size=(b, k, 128))  # banded block
+    feats = jnp.asarray(rng.standard_normal((b, c, 8)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((k, 8, 8)).astype(np.float32))
+    got = np.asarray(banded_conv_pallas(feats, jnp.asarray(kmap), kernel,
+                                        interpret=True))
+    assert np.all(got[:, 128:] == 0)
+
+
+def test_band_layout_union_alignment(rng):
+    kmap = jnp.asarray(rng.integers(0, 64, size=(1, 4, 256)).astype(np.int32))
+    starts, rel, ok = band_layout_union(kmap, 512, 128, 128)
+    assert bool(ok)
+    assert np.all(np.asarray(starts) % 16 == 0)
+    assert np.asarray(rel).max() <= 128
