@@ -100,6 +100,7 @@ def create_minkloc_model(model_params: ModelParams, cap0: int | None = None,
         block_kernel_size=3,
         self_levels=tuple(range(1, num_levels + 1)),
         up_levels=tuple(range(0, num_levels)),
+        conv0_ones=True,  # MinkLoc also feeds all-ones 1-channel features
     )
     return BuiltModel(model, model_params.quantizer, spec, "minkloc")
 

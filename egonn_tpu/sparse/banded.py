@@ -194,3 +194,243 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
         return out.reshape(b, c_out, f_out)
 
     return jax.lax.cond(ok, fast, lambda: _plain_gather_conv(feats, kmap, kernel))
+
+
+# ---------------------------------------------------------------------------
+# Banded sorted-key LOOKUP: the kernel-map construction engine
+# ---------------------------------------------------------------------------
+
+def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
+                          win_table: jnp.ndarray, c_in: int,
+                          sub: int, tile: int, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """Positions of query keys in a sorted table, banded: grid over (B, T);
+    per offset k, ONE precomputed window row of the table is compared against
+    the tile's queries entirely in-register — zero HBM gathers.
+
+    queries_t (B, T, K, tile) int32 (MAXKEY = invalid); rows (B, T, K) int32
+    window-row index (the window = table[row*128 : row*128 + sub]);
+    win_table (R, sub) int32 with R = ceil(c_in/128) overlapping windows.
+    Returns (B, T, K, tile) int32 positions, c_in where absent/invalid.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, k_vol, tile_ = queries_t.shape
+    maxkey = 2**31 - 1  # python literal: a traced scalar would be a captured const
+
+    def body(rows_ref, q_ref, win_ref, out_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        def k_step(k, _):
+            row_k = rows_ref[bi, ti, k]
+            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+            q = q_ref[0, 0, k, :]                          # (tile,)
+            eq = q[:, None] == win_row                     # (tile, sub)
+            # keys are unique: at most one match, so ONE masked iota-sum gives
+            # both presence (s == 0 means absent) and position (s - 1).
+            # (Mosaic's argmax lowering is f32-only; this is also one fewer
+            # reduce pass than any() + argmax.)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (tile_, sub), 1)
+            s = jnp.sum(jnp.where(eq, jj + 1, 0), axis=1)
+            found = (s > 0) & (q != maxkey)
+            out_ref[0, 0, k, :] = jnp.where(found, row_k * 128 + s - 1, c_in)
+            return 0
+
+        jax.lax.fori_loop(0, k_vol, k_step, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # rows
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),   # per-cloud window table
+        ],
+        out_specs=pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, k_vol, tile), jnp.int32),
+        interpret=interpret,
+    )(rows, queries_t, win_table)
+
+
+def make_window_table(sorted_keys: jnp.ndarray, sub: int) -> jnp.ndarray:
+    """(B, C) sorted keys -> (B, R, sub) overlapping windows at 128 stride:
+    row r = keys[128r : 128r + sub], MAXKEY-padded past the end.  Built from
+    static shifted slices — no gathers."""
+    b, c = sorted_keys.shape
+    maxkey = jnp.int32(2**31 - 1)
+    r = -(-c // 128)
+    padded = jnp.concatenate(
+        [sorted_keys, jnp.full((b, sub), maxkey, jnp.int32)], axis=1
+    )
+    return jnp.stack([padded[:, i * 128 : i * 128 + sub] for i in range(r)], axis=1)
+
+
+def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                  sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+                  interpret: bool = False):
+    """Find positions of `queries` in per-cloud MAXKEY-padded sorted key arrays.
+
+    sorted_keys (B, C_in) int32; queries (B, K, C_out) int32 (MAXKEY invalid;
+    per offset k each tile's valid queries must be close in key order — true
+    for kernel-map queries, which are out_key + packed offset delta).
+    Returns (positions (B, K, C_out) int32 with sentinel C_in, ok () bool).
+    The window-row pre-pass is gather-free: dense compares against the
+    128-stride boundary keys.
+    """
+    b, c_in = sorted_keys.shape
+    _, k_vol, c_out = queries.shape
+    assert c_out % tile == 0
+    t = c_out // tile
+    maxkey = jnp.int32(2**31 - 1)
+
+    q4 = queries.reshape(b, k_vol, t, tile)
+    valid = q4 != maxkey
+    big = jnp.int32(2**31 - 1)
+    q_first = jnp.min(jnp.where(valid, q4, big), axis=-1)   # (B, K, T)
+    q_last = jnp.max(jnp.where(valid, q4, -1), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+
+    boundaries = sorted_keys[:, ::128]                       # (B, R)
+    r = boundaries.shape[1]
+    # row of the first key >= q: (#boundaries <= q) - 1, clamped (row r covers
+    # keys [128r, 128r+sub))
+    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
+                        axis=-1).astype(jnp.int32)
+    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
+                       axis=-1).astype(jnp.int32)
+    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
+    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
+    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
+    ok = jnp.all(fits)
+
+    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))  # (B,T,K)
+    q_t = jnp.transpose(q4, (0, 2, 1, 3))                   # (B, T, K, tile)
+    win_table = make_window_table(sorted_keys, sub)
+
+    def fast():
+        pos = _pallas_banded_lookup(q_t, rows, win_table, c_in, sub, tile,
+                                    interpret=interpret)
+        return jnp.transpose(pos, (0, 2, 1, 3)).reshape(b, k_vol, c_out)
+
+    def slow():
+        from egonn_tpu.sparse.packing import lookup_sorted
+
+        return jax.vmap(lambda sk, q: lookup_sorted(sk, q, sentinel=c_in))(
+            sorted_keys, queries
+        )
+
+    return jax.lax.cond(ok, fast, slow), ok
+
+
+# ---------------------------------------------------------------------------
+# Z-run presence: the conv0 (all-ones stem) kernel-map engine
+# ---------------------------------------------------------------------------
+
+def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
+                          win_table: jnp.ndarray, kz: int,
+                          sub: int, tile: int, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """Presence bitmasks of kz CONSECUTIVE keys per query, banded.
+
+    EgoNN's stem convolves constant-ones features (reference
+    datasets/dataset_utils.py:80), so its kernel map only needs neighbor
+    PRESENCE — and the kz z-offsets of one (dx, dy) column are consecutive
+    packed keys.  One masked reduce per xy-offset yields all kz presence bits:
+
+        bits = sum over window of (0 <= win - q_lo < kz) ? 1 << (win - q_lo) : 0
+
+    (keys are unique, so the sum is a bitwise OR) — kz times fewer VPU passes
+    than kz separate lookups.
+
+    q_lo_t (B, T, Kxy, tile) int32 base queries (MAXKEY invalid); rows
+    (B, T, Kxy) window-row indices; win_table (B, R, sub).
+    Returns (B, T, Kxy, tile) int32 bitmasks.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, kxy, tile_ = q_lo_t.shape
+    assert kz <= 8  # bits fit comfortably; val & 7 below assumes this
+
+    def body(rows_ref, q_ref, win_ref, out_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        def k_step(k, _):
+            row_k = rows_ref[bi, ti, k]
+            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+            q = q_ref[0, 0, k, :]                          # (tile,)
+            val = win_row - q[:, None]                     # (tile, sub)
+            hit = (val >= 0) & (val < kz)
+            shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
+            out_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, kxy, k_step, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
+        interpret=interpret,
+    )(rows, q_lo_t, win_table)
+
+
+def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
+                  sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+                  interpret: bool = False):
+    """Presence bits of [q, q+kz) for each base query in per-cloud sorted keys.
+
+    sorted_keys (B, C_in); q_lo (B, Kxy, C_out) int32 (MAXKEY invalid).
+    Returns (bits (B, Kxy, C_out) int32, ok () bool).  When ok is False the
+    caller must use a fallback — this function does NOT cond internally
+    because the fallback shape differs per use."""
+    b, c_in = sorted_keys.shape
+    _, kxy, c_out = q_lo.shape
+    assert c_out % tile == 0
+    t = c_out // tile
+    maxkey = jnp.int32(2**31 - 1)
+
+    q4 = q_lo.reshape(b, kxy, t, tile)
+    valid = q4 != maxkey
+    q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
+    q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+
+    boundaries = sorted_keys[:, ::128]
+    r = boundaries.shape[1]
+    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
+                        axis=-1).astype(jnp.int32)
+    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
+                       axis=-1).astype(jnp.int32)
+    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
+    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
+    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
+    ok = jnp.all(fits)
+
+    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))
+    q_t = jnp.transpose(q4, (0, 2, 1, 3))
+    win_table = make_window_table(sorted_keys, sub)
+    bits = _pallas_zrun_presence(q_t, rows, win_table, kz, sub, tile,
+                                 interpret=interpret)
+    return jnp.transpose(bits, (0, 2, 1, 3)).reshape(b, kxy, c_out), ok

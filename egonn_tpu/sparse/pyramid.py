@@ -85,6 +85,15 @@ class PyramidSpec:
     # Whether level 0 records the input-row index of each voxel (tests / raw-cloud
     # dedup need it; the model path does not — saves a sort payload).
     need_source_index: bool = True
+    # The stem consumes constant-ones features (EgoNN/MinkLoc feed all-ones
+    # 1-channel inputs — reference datasets/dataset_utils.py:80), so its kernel
+    # map only needs neighbor PRESENCE.  With this flag the level-0 kmap_self
+    # is built by the z-run presence kernel (sparse/banded.py zrun_presence —
+    # one reduce per xy-offset column instead of kz lookups) and holds 0 where
+    # the neighbor exists / sentinel where not — valid for sparse_conv_ones,
+    # NOT for gathering real features.  Leave False for models with real
+    # level-0 features (e.g. ResNetBase test configs).
+    conv0_ones: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -110,20 +119,12 @@ def _xy_offsets(kernel_size: int) -> np.ndarray:
     return np.array(list(itertools.product(rng, repeat=2)), dtype=np.int32)
 
 
-def _build_kmap(in_keys: jnp.ndarray, out_coords_t: jnp.ndarray, out_mask: jnp.ndarray,
-                xy_offsets: np.ndarray, kz: int, z_start: int, scale: int,
-                pack: PackSpec) -> jnp.ndarray:
-    """Gather map: for output voxel o and offset d, the position in the sorted
-    input key array holding coordinate scale*o + d (sentinel len(in_keys) when
-    absent/padded).  Returns (len(xy_offsets) * kz, C) int32, rows in C-order
-    (dx, dy, dz) matching kernel_offsets().
-
-    Implementation: plain per-offset bucketed compare-all lookup
-    (packing.lookup_sorted).  Measured ~8 ns per query on v5e — gather-bound;
-    z-run window variants and per-query binary search were tried and measured
-    1.7x / 12x slower (TPU gathers cost the same regardless of size, and extra
-    layout ops eat the savings)."""
-    n_in = in_keys.shape[0]
+def _kmap_queries(out_coords_t: jnp.ndarray, out_mask: jnp.ndarray,
+                  xy_offsets: np.ndarray, kz: int, z_start: int, scale: int,
+                  pack: PackSpec) -> jnp.ndarray:
+    """Per-cloud query keys for a kernel map: (Kxy*kz, C) int32 packed keys of
+    `scale * out_coord + offset`, MAXKEY where out-of-range/padded.  Row order
+    is C-order (dx, dy, dz) matching kernel_offsets()."""
     bx, by, bz = pack.bits
     ox, oy, oz = pack.offsets
     kxy = len(xy_offsets)
@@ -138,25 +139,86 @@ def _build_kmap(in_keys: jnp.ndarray, out_coords_t: jnp.ndarray, out_mask: jnp.n
     zok = (z >= 0) & (z < (1 << bz))
     ok = xyok[:, None, :] & zok & out_mask[None, None, :]
     key = ((x << (by + bz)) | (y << bz))[:, None, :] | z  # (Kxy, kz, C)
-    key = jnp.where(ok, key, MAXKEY)
-    out = lookup_sorted(in_keys, key, sentinel=n_in)
-    return out.reshape(kxy * kz, c)
+    return jnp.where(ok, key, MAXKEY).reshape(kxy * kz, c)
 
 
-def _build_pyramid_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
-                          spec: PyramidSpec,
-                          keys0: jnp.ndarray | None = None) -> Tuple[Level, ...]:
-    """Per-cloud pyramid builder (vmapped over batch by build_pyramid).
+def _use_banded_lookup() -> bool:
+    from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+
+    return USE_BANDED and _on_tpu()
+
+
+def _zrun_queries(coords_t: jnp.ndarray, mask: jnp.ndarray,
+                  xy_offsets: np.ndarray, kz: int, z_start: int,
+                  pack: PackSpec):
+    """Per-cloud base queries for the z-run presence kernel: for each xy
+    offset, the packed key at the column's LOWEST z slot (clamped into the z
+    field), plus the per-voxel realignment shift and valid-bit mask.
+
+    Returns (q_lo (Kxy, C) int32, jshift (C,) int32, top_mask (C,) int32):
+    presence of kernel slot s (dz = z_start + s) is bit s of
+    `(bits & top_mask) << jshift` where `bits` is the kernel output for q_lo.
+    """
+    bx, by, bz = pack.bits
+    ox, oy, oz = pack.offsets
+    dxs = jnp.asarray(xy_offsets[:, 0])[:, None]
+    dys = jnp.asarray(xy_offsets[:, 1])[:, None]
+    x = coords_t[0][None, :] + dxs + ox                 # (Kxy, C)
+    y = coords_t[1][None, :] + dys + oy
+    z_base = coords_t[2] + z_start + oz                 # (C,)
+    z_clamp = jnp.clip(z_base, 0, (1 << bz) - 1)
+    jshift = z_clamp - z_base                           # >= 0
+    n_ok = jnp.clip((1 << bz) - z_clamp, 0, kz)         # valid js from z_clamp
+    top_mask = (1 << n_ok) - 1
+    xyok = (x >= 0) & (x < (1 << bx)) & (y >= 0) & (y < (1 << by))
+    key = (x << (by + bz)) | (y << bz) | z_clamp[None, :]
+    q_lo = jnp.where(xyok & mask[None, :], key, MAXKEY)
+    return q_lo, jshift.astype(jnp.int32), top_mask.astype(jnp.int32)
+
+
+def _lookup_batched(in_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """(B, C_in) sorted keys x (B, K, C_out) queries -> (B, K, C_out) positions.
+
+    Dispatch: banded Pallas lookup (sparse/banded.py — in-VMEM compare-all over
+    128-aligned windows, zero HBM gathers; exact fallback built in) on TPU,
+    else the bucketed-gather lookup (packing.lookup_sorted, ~7 ns/query).
+    Measured on v5e at the conv0 workload (125 x 16k x 8): 103 ms gather path
+    -> 53 ms banded."""
+    n_in = in_keys.shape[1]
+    if _use_banded_lookup() and queries.shape[-1] % 128 == 0:
+        from egonn_tpu.sparse.banded import banded_lookup
+
+        pos, _ = banded_lookup(in_keys, queries)
+        return pos
+    return jax.vmap(lambda sk, q: lookup_sorted(sk, q, sentinel=n_in))(
+        in_keys, queries
+    )
+
+
+def _build_kmap(in_keys: jnp.ndarray, out_coords_t: jnp.ndarray, out_mask: jnp.ndarray,
+                xy_offsets: np.ndarray, kz: int, z_start: int, scale: int,
+                pack: PackSpec) -> jnp.ndarray:
+    """Per-cloud gather map: positions in the sorted input key array of
+    coordinate scale*o + d (sentinel len(in_keys) when absent/padded).
+    Returns (len(xy_offsets) * kz, C) int32.  Used by the vmapped (non-banded)
+    pyramid path; the batched TPU path goes through _lookup_batched."""
+    key = _kmap_queries(out_coords_t, out_mask, xy_offsets, kz, z_start, scale, pack)
+    return lookup_sorted(in_keys, key, sentinel=in_keys.shape[0])
+
+
+def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
+                        spec: PyramidSpec, keys0: jnp.ndarray | None = None):
+    """Per-cloud dedup chain (vmapped): the sorted voxel sets of every level.
 
     If keys0 is given, level 0 is taken as already canonical (sorted unique keys
     with MAXKEY padding — exactly a Quantizer.quantize output) and no level-0
     dedup happens.  Otherwise level 0 is re-canonicalized and (when
-    spec.need_source_index) Level.source_index maps level-0 rows to input rows.
+    spec.need_source_index) source_index maps level-0 rows to input rows.
 
     Down levels dedup with a cheap single-operand sort of halve_keys output
     (halving does not preserve order; see packing.halve_keys).
     """
-    source_index = None
+    source_index = jnp.zeros((spec.capacities[0],), jnp.int32)
     if keys0 is not None:
         coords = [coords0_t]
         masks = [mask0]
@@ -183,48 +245,7 @@ def _build_pyramid_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         masks.append(u.mask)
         keys.append(u.keys)
         n_uniques.append(u.n_unique)
-
-    levels = []
-    for l in range(spec.num_levels + 1):
-        pack_l = spec.pack_at(l)
-        kmap_self = None
-        if l == 0:
-            k = spec.conv0_kernel_size
-            kmap_self = _build_kmap(keys[0], coords[0], masks[0], _xy_offsets(k),
-                                    k, -(k // 2), 1, pack_l)
-        elif l in spec.self_levels:
-            k = spec.block_kernel_size
-            kmap_self = _build_kmap(keys[l], coords[l], masks[l], _xy_offsets(k),
-                                    k, -(k // 2), 1, pack_l)
-
-        kmap_down = None
-        if l >= 1:
-            kmap_down = _build_kmap(keys[l - 1], coords[l], masks[l], _xy_offsets(2),
-                                    2, 0, 2, spec.pack_at(l - 1))
-
-        up_parent = None
-        up_koffset = None
-        if l in spec.up_levels:
-            assert l + 1 <= spec.num_levels, "up_level must have a parent level"
-            parent_q = coords[l] // 2
-            qkeys = pack_keys(parent_q, masks[l], spec.pack_at(l + 1))
-            up_parent = lookup_sorted(keys[l + 1], qkeys, sentinel=spec.capacities[l + 1])
-            bits = coords[l] - 2 * parent_q  # (3, C) in {0, 1}
-            up_koffset = (4 * bits[0] + 2 * bits[1] + bits[2]).astype(jnp.int32)
-
-        levels.append(
-            Level(
-                coords=coords[l],
-                mask=masks[l],
-                n_unique=n_uniques[l],
-                kmap_self=kmap_self,
-                kmap_down=kmap_down,
-                up_parent=up_parent,
-                up_koffset=up_koffset,
-                source_index=source_index if l == 0 else None,
-            )
-        )
-    return tuple(levels)
+    return tuple(coords), tuple(masks), tuple(keys), tuple(n_uniques), source_index
 
 
 def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
@@ -235,18 +256,99 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     mask0 (B, C0).  Inputs need not be sorted or unique — unless keys0 (B, C0)
     is passed (a Quantizer.quantize output), in which case level 0 is trusted
     as canonical and no re-dedup happens.
-    """
+
+    Structure: the per-cloud dedup chain is vmapped; kernel maps are built
+    BATCHED so the banded Pallas lookup kernel can serve them (pallas_call is
+    invoked directly on the (B, ...) arrays — not under vmap)."""
     if n_unique0 is None:
         n_unique0 = jnp.sum(mask0, axis=1).astype(jnp.int32)
     if keys0 is not None:
-        levels = jax.vmap(
-            lambda c, m, n, k: _build_pyramid_single(c, m, n, spec, keys0=k)
+        coords, masks, keys, n_uniques, src_idx = jax.vmap(
+            lambda c, m, n, k: _dedup_chain_single(c, m, n, spec, keys0=k)
         )(coords0_t, mask0, n_unique0, keys0)
     else:
-        levels = jax.vmap(lambda c, m, n: _build_pyramid_single(c, m, n, spec))(
-            coords0_t, mask0, n_unique0
+        coords, masks, keys, n_uniques, src_idx = jax.vmap(
+            lambda c, m, n: _dedup_chain_single(c, m, n, spec)
+        )(coords0_t, mask0, n_unique0)
+
+    levels = []
+    for l in range(spec.num_levels + 1):
+        pack_l = spec.pack_at(l)
+        kmap_self = None
+        if l == 0 and spec.conv0_ones and _use_banded_lookup() \
+                and spec.capacities[0] % 128 == 0:
+            from egonn_tpu.sparse.banded import zrun_presence
+
+            k = spec.conv0_kernel_size
+            b = coords[0].shape[0]
+            c0 = spec.capacities[0]
+            xy = _xy_offsets(k)
+            q_lo, jshift, top = jax.vmap(
+                lambda c, m: _zrun_queries(c, m, xy, k, -(k // 2), pack_l)
+            )(coords[0], masks[0])
+            bits, zok = zrun_presence(keys[0], q_lo, kz=k)
+
+            def from_bits():
+                aligned = (bits & top[:, None, :]) << jshift[:, None, :]
+                pres = jnp.stack(
+                    [(aligned >> s) & 1 for s in range(k)], axis=2
+                )  # (B, Kxy, kz, C)
+                return jnp.where(pres.reshape(b, len(xy) * k, c0) > 0, 0, c0
+                                 ).astype(jnp.int32)
+
+            def full_lookup():
+                q = jax.vmap(
+                    lambda c, m: _kmap_queries(c, m, xy, k, -(k // 2), 1, pack_l)
+                )(coords[0], masks[0])
+                return jax.vmap(
+                    lambda sk, qq: lookup_sorted(sk, qq, sentinel=c0)
+                )(keys[0], q)
+
+            kmap_self = jax.lax.cond(zok, from_bits, full_lookup)
+        elif l == 0 or l in spec.self_levels:
+            k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
+            q = jax.vmap(
+                lambda c, m: _kmap_queries(c, m, _xy_offsets(k), k, -(k // 2),
+                                           1, pack_l)
+            )(coords[l], masks[l])
+            kmap_self = _lookup_batched(keys[l], q)
+
+        kmap_down = None
+        if l >= 1:
+            q = jax.vmap(
+                lambda c, m: _kmap_queries(c, m, _xy_offsets(2), 2, 0, 2,
+                                           spec.pack_at(l - 1))
+            )(coords[l], masks[l])
+            kmap_down = _lookup_batched(keys[l - 1], q)
+
+        up_parent = None
+        up_koffset = None
+        if l in spec.up_levels:
+            assert l + 1 <= spec.num_levels, "up_level must have a parent level"
+            parent_q = coords[l] // 2
+            qkeys = jax.vmap(
+                lambda pq, m: pack_keys(pq, m, spec.pack_at(l + 1))
+            )(parent_q, masks[l])
+            up_parent = _lookup_batched(keys[l + 1], qkeys[:, None, :])[:, 0]
+            bits = coords[l] - 2 * parent_q  # (B, 3, C) in {0, 1}
+            up_koffset = (4 * bits[:, 0] + 2 * bits[:, 1] + bits[:, 2]).astype(jnp.int32)
+
+        levels.append(
+            Level(
+                coords=coords[l],
+                mask=masks[l],
+                n_unique=n_uniques[l],
+                kmap_self=kmap_self,
+                kmap_down=kmap_down,
+                up_parent=up_parent,
+                up_koffset=up_koffset,
+                source_index=(
+                    src_idx if l == 0 and keys0 is None and spec.need_source_index
+                    else None
+                ),
+            )
         )
-    return Pyramid(levels=levels)
+    return Pyramid(levels=tuple(levels))
 
 
 def egonn_pyramid_spec(cap0: int = 16384, num_levels: int = 7,
@@ -274,4 +376,5 @@ def egonn_pyramid_spec(cap0: int = 16384, num_levels: int = 7,
         up_levels=tuple(range(0, num_levels)),  # all: the down-conv backward
         # uses the up map of the finer level (gather-only transpose)
         need_source_index=False,
+        conv0_ones=True,  # EgoNN stem consumes all-ones features
     )

@@ -100,3 +100,50 @@ def test_band_layout_union_alignment(rng):
     assert bool(ok)
     assert np.all(np.asarray(starts) % 16 == 0)
     assert np.asarray(rel).max() <= 128
+
+
+def test_banded_lookup_matches_reference(rng):
+    """banded_lookup positions == lookup_sorted on real kernel-map queries."""
+    from egonn_tpu.sparse.banded import banded_lookup
+    from egonn_tpu.sparse.packing import MAXKEY, lookup_sorted, pack_keys
+    from egonn_tpu.sparse.pyramid import egonn_pyramid_spec
+
+    pyr = _real_pyramid(rng)
+    spec = egonn_pyramid_spec(cap0=1024, num_levels=3, min_out_level=1)
+    keys = jax.vmap(lambda c, m: pack_keys(c, m, spec.pack_at(1)))(
+        pyr[1].coords, pyr[1].mask)
+    keys = jnp.sort(keys, axis=1)
+    c = keys.shape[1]
+    # queries: keys shifted by small packed deltas (the kernel-map pattern)
+    deltas = np.array([0, 1, -1, 2048, -2048], np.int32)  # dz, dy steps
+    queries = jnp.stack([jnp.where(keys != MAXKEY, keys + d, MAXKEY)
+                         for d in deltas], axis=1)  # (B, K, C)
+    pos_ref = jax.vmap(lambda sk, q: lookup_sorted(sk, q, sentinel=c))(keys, queries)
+    pos_band, ok = banded_lookup(keys, queries, interpret=True)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(pos_band), np.asarray(pos_ref))
+
+
+def test_zrun_presence_matches_lookup(rng):
+    """zrun_presence bits == per-key membership from lookup_sorted."""
+    from egonn_tpu.sparse.banded import zrun_presence
+    from egonn_tpu.sparse.packing import MAXKEY, lookup_sorted, pack_keys
+    from egonn_tpu.sparse.pyramid import egonn_pyramid_spec
+
+    pyr = _real_pyramid(rng)
+    spec = egonn_pyramid_spec(cap0=1024, num_levels=3, min_out_level=1)
+    keys = jax.vmap(lambda c, m: pack_keys(c, m, spec.pack_at(1)))(
+        pyr[1].coords, pyr[1].mask)
+    keys = jnp.sort(keys, axis=1)
+    c = keys.shape[1]
+    kz = 3
+    q_lo = jnp.where(keys != MAXKEY, keys - 1, MAXKEY)[:, None, :]  # (B,1,C)
+    bits, ok = zrun_presence(keys, q_lo, kz=kz, interpret=True)
+    assert bool(ok)
+    for j in range(kz):
+        qj = jnp.where(q_lo[:, 0] != MAXKEY, q_lo[:, 0] + j, MAXKEY)
+        pos = jax.vmap(lambda sk, q: lookup_sorted(sk, q, sentinel=c))(
+            keys, qj[:, None, :])[:, 0]
+        present_ref = np.asarray(pos) < c
+        present_bits = (np.asarray(bits[:, 0]) >> j) & 1
+        np.testing.assert_array_equal(present_bits.astype(bool), present_ref)
