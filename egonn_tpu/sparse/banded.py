@@ -369,7 +369,9 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             val = win_row - q[:, None]                     # (tile, sub)
-            hit = (val >= 0) & (val < kz)
+            # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
+            # (val == 0) — mask it out
+            hit = (val >= 0) & (val < kz) & (q[:, None] != 2**31 - 1)
             shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
             out_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
             return 0
@@ -434,3 +436,110 @@ def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     bits = _pallas_zrun_presence(q_t, rows, win_table, kz, sub, tile,
                                  interpret=interpret)
     return jnp.transpose(bits, (0, 2, 1, 3)).reshape(b, kxy, c_out), ok
+
+
+def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
+                      win_table: jnp.ndarray, kz: int,
+                      sub: int, tile: int, interpret: bool = False):
+    """Presence bitmask AND rank per z-run base query, banded.
+
+    Like _pallas_zrun_presence plus a second reduce giving rank(q_lo) = #keys
+    < q_lo — from which the POSITION of every present key q_lo + j follows
+    as rank + popcount(bits & ((1 << j) - 1)) (keys of one column are
+    consecutive, so present ones occupy consecutive table rows).  This serves
+    the k^3 self kernel maps with kz times fewer passes than per-key lookups.
+
+    Returns (bits, rank) each (B, T, Kxy, tile) int32.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, kxy, tile_ = q_lo_t.shape
+    assert kz <= 8
+
+    def body(rows_ref, q_ref, win_ref, bits_ref, rank_ref):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        def k_step(k, _):
+            row_k = rows_ref[bi, ti, k]
+            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+            q = q_ref[0, 0, k, :]                          # (tile,)
+            val = win_row - q[:, None]                     # (tile, sub)
+            # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
+            hit = (val >= 0) & (val < kz) & (q[:, None] != 2**31 - 1)
+            shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
+            bits_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
+            # MAXKEY pads and later keys compare >= q, so this counts exactly
+            # the in-window keys below q; keys before the window are all < q
+            # by the boundary choice, giving absolute rank row*128 + count.
+            lt = (val < 0).astype(jnp.int32)
+            rank_ref[0, 0, k, :] = row_k * 128 + jnp.sum(lt, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, kxy, k_step, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
+        ),
+        interpret=interpret,
+    )(rows, q_lo_t, win_table)
+
+
+def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
+              sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+              interpret: bool = False):
+    """(bits, rank, ok) for z-run base queries — see _pallas_zrun_rank.
+
+    sorted_keys (B, C_in); q_lo (B, Kxy, C_out) int32 (MAXKEY invalid).
+    bits/rank (B, Kxy, C_out) int32."""
+    b, c_in = sorted_keys.shape
+    _, kxy, c_out = q_lo.shape
+    assert c_out % tile == 0
+    t = c_out // tile
+    maxkey = jnp.int32(2**31 - 1)
+
+    q4 = q_lo.reshape(b, kxy, t, tile)
+    valid = q4 != maxkey
+    q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
+    q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+
+    boundaries = sorted_keys[:, ::128]
+    r = boundaries.shape[1]
+    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
+                        axis=-1).astype(jnp.int32)
+    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
+                       axis=-1).astype(jnp.int32)
+    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
+    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
+    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
+    ok = jnp.all(fits)
+
+    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))
+    q_t = jnp.transpose(q4, (0, 2, 1, 3))
+    win_table = make_window_table(sorted_keys, sub)
+    bits, rank = _pallas_zrun_rank(q_t, rows, win_table, kz, sub, tile,
+                                   interpret=interpret)
+    tr = lambda a: jnp.transpose(a, (0, 2, 1, 3)).reshape(b, kxy, c_out)  # noqa: E731
+    return tr(bits), tr(rank), ok

@@ -271,40 +271,90 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
             lambda c, m, n: _dedup_chain_single(c, m, n, spec)
         )(coords0_t, mask0, n_unique0)
 
+    # Up maps first: cheap lookups (one query per voxel), and each level's down
+    # map is then derived by INVERTING the finer level's up map — a unique
+    # scatter (child voxels map to distinct (parent, slot) pairs), replacing
+    # 8 lookup queries per coarse voxel with one scatter per fine voxel.
+    ups = {}
+    for l in spec.up_levels:
+        assert l + 1 <= spec.num_levels, "up_level must have a parent level"
+        parent_q = coords[l] // 2
+        qkeys = jax.vmap(
+            lambda pq, m: pack_keys(pq, m, spec.pack_at(l + 1))
+        )(parent_q, masks[l])
+        up_parent = _lookup_batched(keys[l + 1], qkeys[:, None, :])[:, 0]
+        kbits = coords[l] - 2 * parent_q  # (B, 3, C) in {0, 1}
+        up_koffset = (4 * kbits[:, 0] + 2 * kbits[:, 1] + kbits[:, 2]).astype(jnp.int32)
+        ups[l] = (up_parent, up_koffset)
+
+    def _invert_up(up_parent, up_koffset, c_coarse, c_fine):
+        """(B, C_fine) parent/slot -> (B, 8, C_coarse) down gather map."""
+        bsz = up_parent.shape[0]
+        flat_tgt = up_koffset * (c_coarse + 1) + jnp.minimum(up_parent, c_coarse)
+        init = jnp.full((bsz, 8 * (c_coarse + 1)), c_fine, jnp.int32)
+        fine_idx = jnp.broadcast_to(
+            jnp.arange(c_fine, dtype=jnp.int32)[None, :], up_parent.shape
+        )
+        # drop invalid fine voxels (parent == sentinel) into the dump column
+        out = jax.vmap(
+            lambda ini, tgt, val: ini.at[tgt].set(val, mode="drop",
+                                                  unique_indices=True)
+        )(init, flat_tgt, fine_idx)
+        return out.reshape(bsz, 8, c_coarse + 1)[:, :, :c_coarse]
+
+    def _self_kmap_banded(lvl_keys, lvl_coords, lvl_masks, k, pack_l, cl,
+                          presence_only):
+        """Self k^3 kernel map via the z-run kernels: one banded pass per xy
+        column yields all kz z-slots (presence bits; + rank for positions).
+        Exact runtime fallback to the full per-key lookup when bands overflow."""
+        from egonn_tpu.sparse.banded import zrun_presence, zrun_rank
+
+        b = lvl_coords.shape[0]
+        xy = _xy_offsets(k)
+        q_lo, jshift, top = jax.vmap(
+            lambda c, m: _zrun_queries(c, m, xy, k, -(k // 2), pack_l)
+        )(lvl_coords, lvl_masks)
+        if presence_only:
+            bits, zok = zrun_presence(lvl_keys, q_lo, kz=k)
+            rank = None
+        else:
+            bits, rank, zok = zrun_rank(lvl_keys, q_lo, kz=k)
+
+        def from_bits():
+            aligned = (bits & top[:, None, :]) << jshift[:, None, :]
+            rows = []
+            for s in range(k):
+                pres = (aligned >> s) & 1
+                if presence_only:
+                    pos = jnp.zeros_like(pres)
+                else:
+                    below = jax.lax.population_count(aligned & ((1 << s) - 1))
+                    pos = rank + below
+                rows.append(jnp.where(pres > 0, pos, cl))
+            return jnp.stack(rows, axis=2).reshape(b, len(xy) * k, cl
+                                                   ).astype(jnp.int32)
+
+        def full_lookup():
+            q = jax.vmap(
+                lambda c, m: _kmap_queries(c, m, xy, k, -(k // 2), 1, pack_l)
+            )(lvl_coords, lvl_masks)
+            return jax.vmap(
+                lambda sk, qq: lookup_sorted(sk, qq, sentinel=cl)
+            )(lvl_keys, q)
+
+        return jax.lax.cond(zok, from_bits, full_lookup)
+
     levels = []
     for l in range(spec.num_levels + 1):
         pack_l = spec.pack_at(l)
         kmap_self = None
-        if l == 0 and spec.conv0_ones and _use_banded_lookup() \
-                and spec.capacities[0] % 128 == 0:
-            from egonn_tpu.sparse.banded import zrun_presence
-
-            k = spec.conv0_kernel_size
-            b = coords[0].shape[0]
-            c0 = spec.capacities[0]
-            xy = _xy_offsets(k)
-            q_lo, jshift, top = jax.vmap(
-                lambda c, m: _zrun_queries(c, m, xy, k, -(k // 2), pack_l)
-            )(coords[0], masks[0])
-            bits, zok = zrun_presence(keys[0], q_lo, kz=k)
-
-            def from_bits():
-                aligned = (bits & top[:, None, :]) << jshift[:, None, :]
-                pres = jnp.stack(
-                    [(aligned >> s) & 1 for s in range(k)], axis=2
-                )  # (B, Kxy, kz, C)
-                return jnp.where(pres.reshape(b, len(xy) * k, c0) > 0, 0, c0
-                                 ).astype(jnp.int32)
-
-            def full_lookup():
-                q = jax.vmap(
-                    lambda c, m: _kmap_queries(c, m, xy, k, -(k // 2), 1, pack_l)
-                )(coords[0], masks[0])
-                return jax.vmap(
-                    lambda sk, qq: lookup_sorted(sk, qq, sentinel=c0)
-                )(keys[0], q)
-
-            kmap_self = jax.lax.cond(zok, from_bits, full_lookup)
+        if (l == 0 or l in spec.self_levels) and _use_banded_lookup() \
+                and spec.capacities[l] % 128 == 0:
+            k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
+            kmap_self = _self_kmap_banded(
+                keys[l], coords[l], masks[l], k, pack_l, spec.capacities[l],
+                presence_only=(l == 0 and spec.conv0_ones),
+            )
         elif l == 0 or l in spec.self_levels:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
             q = jax.vmap(
@@ -315,23 +365,17 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
 
         kmap_down = None
         if l >= 1:
-            q = jax.vmap(
-                lambda c, m: _kmap_queries(c, m, _xy_offsets(2), 2, 0, 2,
-                                           spec.pack_at(l - 1))
-            )(coords[l], masks[l])
-            kmap_down = _lookup_batched(keys[l - 1], q)
+            if (l - 1) in ups:
+                kmap_down = _invert_up(*ups[l - 1], spec.capacities[l],
+                                       spec.capacities[l - 1])
+            else:
+                q = jax.vmap(
+                    lambda c, m: _kmap_queries(c, m, _xy_offsets(2), 2, 0, 2,
+                                               spec.pack_at(l - 1))
+                )(coords[l], masks[l])
+                kmap_down = _lookup_batched(keys[l - 1], q)
 
-        up_parent = None
-        up_koffset = None
-        if l in spec.up_levels:
-            assert l + 1 <= spec.num_levels, "up_level must have a parent level"
-            parent_q = coords[l] // 2
-            qkeys = jax.vmap(
-                lambda pq, m: pack_keys(pq, m, spec.pack_at(l + 1))
-            )(parent_q, masks[l])
-            up_parent = _lookup_batched(keys[l + 1], qkeys[:, None, :])[:, 0]
-            bits = coords[l] - 2 * parent_q  # (B, 3, C) in {0, 1}
-            up_koffset = (4 * bits[:, 0] + 2 * bits[:, 1] + bits[:, 2]).astype(jnp.int32)
+        up_parent, up_koffset = ups.get(l, (None, None))
 
         levels.append(
             Level(
