@@ -95,6 +95,15 @@ def main():
         for _ in range(iters)
     ]
     _ = jax.device_get(variants[-1][:1, :1])
+    trace_dir = os.environ.get("EGONN_BENCH_TRACE")  # e.g. /tmp/bench_trace
+    if trace_dir:
+        # profiler capture mode (SURVEY §5): one profiled pass, written as a
+        # TensorBoard/xprof trace; the JSON line below still reports the
+        # unprofiled timing loop
+        with jax.profiler.trace(trace_dir):
+            out = forward(variables, variants[0], mask)
+            _ = jax.device_get(out[0][:1, :1])
+
     t0 = time.perf_counter()
     for v in variants:
         out = forward(variables, v, mask)

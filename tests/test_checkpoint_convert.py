@@ -135,3 +135,57 @@ def test_convert_roundtrip(egonn_vars):
         assert key in flat_conv_s, f"missing converted stat {key}"
         np.testing.assert_allclose(flat_conv_s[key], np.asarray(val), atol=0,
                                    err_msg=key)
+
+
+def test_me_slot_semantics_directional():
+    """Pin the ME kernel-slot enumeration to actual spatial behavior.
+
+    MinkowskiEngine's kernel region iterates the FIRST coordinate fastest
+    (ME kernel_region.hpp RegionIterator: x-major increments over the odd
+    hypercube [-r, r]^3), so ME's linear slot of offset (dx, dy, dz) is
+    (dx+r) + (dy+r)*k + (dz+r)*k^2.  A fixture kernel whose ME slots for
+    (+1,0,0), (0,0,+1), and (0,0,0) carry distinct rows must, after
+    conversion, apply those rows exactly to the +x neighbor, +z neighbor, and
+    the voxel itself — verified end-to-end through pyramid + sparse_conv_ones.
+    A transposed enumeration (z fastest on the ME side) would swap the +x/+z
+    responses and fail this test.
+    """
+    from egonn_tpu.sparse.conv import sparse_conv_ones
+    from egonn_tpu.sparse.pyramid import PyramidSpec
+    from egonn_tpu.utils.checkpoint_convert import _conv
+
+    k, r, f = 5, 2, 4
+    w_center = np.array([1.0, 0, 0, 0], np.float32)
+    w_px = np.array([0, 1.0, 0, 0], np.float32)     # offset (+1, 0, 0)
+    w_pz = np.array([0, 0, 1.0, 0], np.float32)     # offset (0, 0, +1)
+    me_kernel = np.zeros((k**3, 1, f), np.float32)
+
+    def me_idx(dx, dy, dz):
+        return (dx + r) + (dy + r) * k + (dz + r) * k * k
+
+    me_kernel[me_idx(0, 0, 0), 0] = w_center
+    me_kernel[me_idx(1, 0, 0), 0] = w_px
+    me_kernel[me_idx(0, 0, 1), 0] = w_pz
+    ours = _conv({"kernel": me_kernel}, "kernel", k)
+
+    # voxels: A=(5,5,5), B=(6,5,5) (+x of A), C=(5,5,6) (+z of A)
+    cap = 128
+    coords = np.zeros((1, 3, cap), np.int32)
+    coords[0, :, 0] = (5, 5, 5)
+    coords[0, :, 1] = (6, 5, 5)
+    coords[0, :, 2] = (5, 5, 6)
+    mask = np.zeros((1, cap), bool)
+    mask[0, :3] = True
+    spec = PyramidSpec(capacities=(cap, cap), conv0_kernel_size=5,
+                       self_levels=(), up_levels=(), need_source_index=True)
+    pyr = build_pyramid(jnp.asarray(coords), jnp.asarray(mask), spec)
+    out = np.asarray(sparse_conv_ones(pyr[0].kmap_self, jnp.asarray(ours), cap))
+
+    # voxel order in the level-0 table is key-sorted: A < B on x, A < C on z
+    # -> sorted order A(5,5,5), C(5,5,6), B(6,5,5)
+    l0 = np.asarray(pyr[0].coords[0]).T
+    idx = {tuple(c): i for i, c in enumerate(l0[: 3])}
+    a, b, c = idx[(5, 5, 5)], idx[(6, 5, 5)], idx[(5, 5, 6)]
+    np.testing.assert_allclose(out[0, a], w_center + w_px + w_pz, atol=1e-6)
+    np.testing.assert_allclose(out[0, b], w_center, atol=1e-6)  # A is at -x
+    np.testing.assert_allclose(out[0, c], w_center, atol=1e-6)  # A is at -z

@@ -4,6 +4,10 @@ conftest.py forces ``jax_platforms=cpu`` + ``jax_num_cpu_devices=8`` before
 backend init, so these tests exercise actual multi-device sharding (grad psum,
 embedding all-gather for the global miner) — not a single-device simulation.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """One combined train step (global triplet + local 6DoF halves) on tiny shapes —
 guards the full training path (preprocess -> forwards -> losses -> custom-VJP
 backward -> optimizer) in CI."""
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np
