@@ -17,11 +17,16 @@ For each level l (tensor stride 2^l) we precompute, inside jit with static shape
   slot (f0&1, f1&1, f2&1).
 
 Coordinate engine (TPU-fast, measured on v5e): voxel dedup is packed-key sort
-based (sparse/packing.py — no colliding scatters); kernel maps are bucketed
-compare-all lookups over the sorted keys (packing.lookup_sorted).  Alternatives
-measured slower on real hardware: hash tables w/ colliding scatters (~100x),
-per-query binary search (12x), dense index grids (30x), z-run window lookups
-(1.7-2.8x).
+based (sparse/packing.py — no colliding scatters).  Kernel maps are built by
+the BANDED Pallas kernels (sparse/banded.py) on TPU: z-run presence/rank
+kernels for self maps (one compare-all pass per xy column covers all kz
+z-offsets), down maps derived by inverting the finer level's up map (a unique
+scatter), up maps via the banded lookup kernel; the bucketed gather lookup
+(packing.lookup_sorted, ~7 ns/query) remains the portable/fallback engine.
+Alternatives measured slower on real hardware: hash tables w/ colliding
+scatters (~100x), per-query binary search (12x), dense index grids (30x),
+XLA-level z-run window lookups (1.7-2.8x vs bucketed; the Pallas in-VMEM
+formulation is what made z-runs win).
 
 Kernel offset enumeration order: C-order itertools.product over (dx, dy, dz), dz
 fastest — e.g. for k=2: (0,0,0), (0,0,1), (0,1,0), ... (1,1,1), slot = 4*dx+2*dy+dz.

@@ -89,3 +89,22 @@ def test_recall_protocol_synthetic_embeddings(tmp_path, rng):
     m2 = ev.compute_recall(emb_map, emb_query_bad)
     assert m2["recall"][5][0] == 0.0
     assert m2["recall"][20][0] == 0.0
+
+
+def test_visualize_helpers(tmp_path):
+    """Headless render smoke test (reference misc/point_clouds.py:8-28)."""
+    import numpy as np
+
+    from egonn_tpu.utils.visualize import draw_pc, draw_registration_result
+
+    rng = np.random.default_rng(0)
+    pc1 = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    pc2 = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    t = np.eye(4, dtype=np.float32)
+    p1 = draw_pc(pc1, out_path=str(tmp_path / "pc.png"))
+    p2 = draw_registration_result(pc1, pc2, t,
+                                  out_path=str(tmp_path / "reg.png"),
+                                  keypoints=pc1[:10])
+    import os
+
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
