@@ -33,7 +33,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-DEFAULT_SUB = 384
+DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
+DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
 DEFAULT_TILE = 128
 
 
@@ -125,12 +126,11 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     # table is 8 MB in f32 — over the 16 MB scoped-vmem budget with headroom)
 
     def body(starts_ref, rel_ref, feats_ref, kern_ref, out_ref):
-        bi = pl.program_id(0)
         ti = pl.program_id(1)
         iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
         def k_step(k, acc):
-            dk = pl.multiple_of(starts_ref[bi, ti, k], 16)
+            dk = pl.multiple_of(starts_ref[0, ti, k], 16)
             sub_w = feats_ref[0, pl.ds(dk, sub), :]
             rel_k = rel_ref[0, 0, k, :]
             oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
@@ -146,22 +146,24 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
             acc = k_step(k, acc)
         out_ref[0, 0] = acc
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # starts
+    # Per-CLOUD scalars ride as an SMEM INPUT BLOCK (fetched once per cloud,
+    # ~8 KB), not scalar-prefetch: a prefetched array is whole-batch resident
+    # in the 1 MB SMEM and overflows at the reference batch-128 envelope
+    # (observed compile OOM); per-STEP blocks measured ~20% slower end-to-end.
+    return pl.pallas_call(
+        body,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+            pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_in, 128), lambda bi, ti, *_: (bi, 0, 0),
+            pl.BlockSpec((1, c_in, 128), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),  # whole per-cloud table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel weights
         ],
-        out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti, *_: (bi, ti, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        body,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
         interpret=interpret,
     )(starts, rel, feats, kernel)
@@ -205,8 +207,8 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
 
 def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
                           win_table: jnp.ndarray, c_in: int,
-                          sub: int, tile: int, interpret: bool = False
-                          ) -> jnp.ndarray:
+                          sub: int, tile: int, stride: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
     """Positions of query keys in a sorted table, banded: grid over (B, T);
     per offset k, ONE precomputed window row of the table is compared against
     the tile's queries entirely in-register — zero HBM gathers.
@@ -223,11 +225,10 @@ def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
     maxkey = 2**31 - 1  # python literal: a traced scalar would be a captured const
 
     def body(rows_ref, q_ref, win_ref, out_ref):
-        bi = pl.program_id(0)
         ti = pl.program_id(1)
 
         def k_step(k, _):
-            row_k = rows_ref[bi, ti, k]
+            row_k = rows_ref[0, ti, k]
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             eq = q[:, None] == win_row                     # (tile, sub)
@@ -238,48 +239,72 @@ def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
             jj = jax.lax.broadcasted_iota(jnp.int32, (tile_, sub), 1)
             s = jnp.sum(jnp.where(eq, jj + 1, 0), axis=1)
             found = (s > 0) & (q != maxkey)
-            out_ref[0, 0, k, :] = jnp.where(found, row_k * 128 + s - 1, c_in)
+            out_ref[0, 0, k, :] = jnp.where(found, row_k * stride + s - 1, c_in)
             return 0
 
         for k in range(k_vol):  # statically unrolled (see conv kernel note)
             k_step(k, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # rows
-        grid=(b, t),
-        in_specs=[
-            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),   # per-cloud window table
-        ],
-        out_specs=pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
     return pl.pallas_call(
         body,
-        grid_spec=grid_spec,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),   # per-cloud window table
+        ],
+        out_specs=pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, k_vol, tile), jnp.int32),
         interpret=interpret,
     )(rows, queries_t, win_table)
 
 
-def make_window_table(sorted_keys: jnp.ndarray, sub: int) -> jnp.ndarray:
-    """(B, C) sorted keys -> (B, R, sub) overlapping windows at 128 stride:
-    row r = keys[128r : 128r + sub], MAXKEY-padded past the end.  Built from
-    static shifted slices — no gathers."""
+def make_window_table(sorted_keys: jnp.ndarray, sub: int,
+                      stride: int = 128) -> jnp.ndarray:
+    """(B, C) sorted keys -> (B, R, sub) overlapping windows at `stride`:
+    row r = keys[stride*r : stride*r + sub], MAXKEY-padded past the end.
+    Built from static shifted slices — no gathers.  A finer stride (64) wastes
+    less of `sub` on alignment slack, so the compare width can shrink from 384
+    to 256 (the compare-all passes are the kernels' dominant cost)."""
     b, c = sorted_keys.shape
     maxkey = jnp.int32(2**31 - 1)
-    r = -(-c // 128)
+    r = -(-c // stride)
     padded = jnp.concatenate(
         [sorted_keys, jnp.full((b, sub), maxkey, jnp.int32)], axis=1
     )
-    return jnp.stack([padded[:, i * 128 : i * 128 + sub] for i in range(r)], axis=1)
+    return jnp.stack(
+        [padded[:, i * stride : i * stride + sub] for i in range(r)], axis=1
+    )
+
+
+
+
+def _band_prepass(sorted_keys: jnp.ndarray, q_first: jnp.ndarray,
+                  q_last: jnp.ndarray, any_valid: jnp.ndarray,
+                  sub: int, stride: int):
+    """Window-row indices per (batch, tile, offset) + band-fit flag, gather-free
+    (dense compares against the stride-spaced boundary keys)."""
+    boundaries = sorted_keys[:, ::stride]                    # (B, R)
+    r = boundaries.shape[1]
+    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
+                        axis=-1).astype(jnp.int32)
+    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
+                       axis=-1).astype(jnp.int32)
+    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
+    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
+    fits = ~any_valid | ((row_last - row_first) * stride + stride <= sub)
+    ok = jnp.all(fits)
+    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))  # (B,T,K)
+    return rows, ok
 
 
 def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
                   sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
-                  interpret: bool = False):
+                  stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """Find positions of `queries` in per-cloud MAXKEY-padded sorted key arrays.
 
     sorted_keys (B, C_in) int32; queries (B, K, C_out) int32 (MAXKEY invalid;
@@ -297,31 +322,16 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
 
     q4 = queries.reshape(b, k_vol, t, tile)
     valid = q4 != maxkey
-    big = jnp.int32(2**31 - 1)
-    q_first = jnp.min(jnp.where(valid, q4, big), axis=-1)   # (B, K, T)
+    q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)  # (B, K, T)
     q_last = jnp.max(jnp.where(valid, q4, -1), axis=-1)
     any_valid = jnp.any(valid, axis=-1)
-
-    boundaries = sorted_keys[:, ::128]                       # (B, R)
-    r = boundaries.shape[1]
-    # row of the first key >= q: (#boundaries <= q) - 1, clamped (row r covers
-    # keys [128r, 128r+sub))
-    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
-                        axis=-1).astype(jnp.int32)
-    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
-                       axis=-1).astype(jnp.int32)
-    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
-    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
-    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
-    ok = jnp.all(fits)
-
-    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))  # (B,T,K)
+    rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))                   # (B, T, K, tile)
-    win_table = make_window_table(sorted_keys, sub)
+    win_table = make_window_table(sorted_keys, sub, stride)
 
     def fast():
         pos = _pallas_banded_lookup(q_t, rows, win_table, c_in, sub, tile,
-                                    interpret=interpret)
+                                    stride, interpret=interpret)
         return jnp.transpose(pos, (0, 2, 1, 3)).reshape(b, k_vol, c_out)
 
     def slow():
@@ -340,8 +350,8 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
 
 def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                           win_table: jnp.ndarray, kz: int,
-                          sub: int, tile: int, interpret: bool = False
-                          ) -> jnp.ndarray:
+                          sub: int, tile: int, stride: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
     """Presence bitmasks of kz CONSECUTIVE keys per query, banded.
 
     EgoNN's stem convolves constant-ones features (reference
@@ -365,11 +375,10 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
     assert kz <= 8  # bits fit comfortably; val & 7 below assumes this
 
     def body(rows_ref, q_ref, win_ref, out_ref):
-        bi = pl.program_id(0)
         ti = pl.program_id(1)
 
         def k_step(k, _):
-            row_k = rows_ref[bi, ti, k]
+            row_k = rows_ref[0, ti, k]
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             val = win_row - q[:, None]                     # (tile, sub)
@@ -383,21 +392,19 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
         for k in range(kxy):  # statically unrolled (see conv kernel note)
             k_step(k, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, t),
-        in_specs=[
-            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
     return pl.pallas_call(
         body,
-        grid_spec=grid_spec,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, t, kxy), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
         interpret=interpret,
     )(rows, q_lo_t, win_table)
@@ -405,7 +412,7 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
 def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
                   sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
-                  interpret: bool = False):
+                  stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """Presence bits of [q, q+kz) for each base query in per-cloud sorted keys.
 
     sorted_keys (B, C_in); q_lo (B, Kxy, C_out) int32 (MAXKEY invalid).
@@ -423,29 +430,18 @@ def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
     q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
     any_valid = jnp.any(valid, axis=-1)
-
-    boundaries = sorted_keys[:, ::128]
-    r = boundaries.shape[1]
-    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
-                        axis=-1).astype(jnp.int32)
-    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
-                       axis=-1).astype(jnp.int32)
-    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
-    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
-    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
-    ok = jnp.all(fits)
-
-    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))
+    rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))
-    win_table = make_window_table(sorted_keys, sub)
+    win_table = make_window_table(sorted_keys, sub, stride)
     bits = _pallas_zrun_presence(q_t, rows, win_table, kz, sub, tile,
-                                 interpret=interpret)
+                                 stride, interpret=interpret)
     return jnp.transpose(bits, (0, 2, 1, 3)).reshape(b, kxy, c_out), ok
 
 
 def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                       win_table: jnp.ndarray, kz: int,
-                      sub: int, tile: int, interpret: bool = False):
+                      sub: int, tile: int, stride: int = 128,
+                      interpret: bool = False):
     """Presence bitmask AND rank per z-run base query, banded.
 
     Like _pallas_zrun_presence plus a second reduce giving rank(q_lo) = #keys
@@ -463,11 +459,10 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
     assert kz <= 8
 
     def body(rows_ref, q_ref, win_ref, bits_ref, rank_ref):
-        bi = pl.program_id(0)
         ti = pl.program_id(1)
 
         def k_step(k, _):
-            row_k = rows_ref[bi, ti, k]
+            row_k = rows_ref[0, ti, k]
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             val = win_row - q[:, None]                     # (tile, sub)
@@ -479,31 +474,29 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             # the in-window keys below q; keys before the window are all < q
             # by the boundary choice, giving absolute rank row*128 + count.
             lt = (val < 0).astype(jnp.int32)
-            rank_ref[0, 0, k, :] = row_k * 128 + jnp.sum(lt, axis=1)
+            rank_ref[0, 0, k, :] = row_k * stride + jnp.sum(lt, axis=1)
             return 0
 
         for k in range(kxy):  # statically unrolled (see conv kernel note)
             k_step(k, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    return pl.pallas_call(
+        body,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+            pl.BlockSpec((1, t, kxy), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti, *_: (bi, 0, 0),
+            pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti, *_: (bi, ti, 0, 0),
+            pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-    )
-    return pl.pallas_call(
-        body,
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
             jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
@@ -514,7 +507,7 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
 def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
               sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
-              interpret: bool = False):
+              stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """(bits, rank, ok) for z-run base queries — see _pallas_zrun_rank.
 
     sorted_keys (B, C_in); q_lo (B, Kxy, C_out) int32 (MAXKEY invalid).
@@ -530,22 +523,10 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
     q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
     any_valid = jnp.any(valid, axis=-1)
-
-    boundaries = sorted_keys[:, ::128]
-    r = boundaries.shape[1]
-    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
-                        axis=-1).astype(jnp.int32)
-    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
-                       axis=-1).astype(jnp.int32)
-    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
-    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
-    fits = ~any_valid | ((row_last - row_first + 1) * 128 <= sub)
-    ok = jnp.all(fits)
-
-    rows = jnp.transpose(jnp.where(any_valid, row_first, 0), (0, 2, 1))
+    rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))
-    win_table = make_window_table(sorted_keys, sub)
+    win_table = make_window_table(sorted_keys, sub, stride)
     bits, rank = _pallas_zrun_rank(q_t, rows, win_table, kz, sub, tile,
-                                   interpret=interpret)
+                                   stride, interpret=interpret)
     tr = lambda a: jnp.transpose(a, (0, 2, 1, 3)).reshape(b, kxy, c_out)  # noqa: E731
     return tr(bits), tr(rank), ok

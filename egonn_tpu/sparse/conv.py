@@ -178,22 +178,9 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
 
         return banded_conv_pallas(feats, kmap, kernel).astype(feats.dtype)
 
-    feats_p = _pad_zero_row(feats)
-    k = kernel.shape[0]
-    c_out = kmap.shape[-1]
-    b = feats.shape[0]
-    f_out = kernel.shape[-1]
+    from egonn_tpu.sparse.banded import _plain_gather_conv
 
-    def step(acc, xs):
-        idx_k, w_k = xs  # (B, C_out), (F_in, F_out)
-        g = jnp.take_along_axis(feats_p, idx_k[..., None], axis=1)  # (B, C_out, F_in)
-        return acc + jnp.einsum(
-            "bcf,fo->bco", g, w_k, preferred_element_type=accum_dtype
-        ), None
-
-    acc0 = jnp.zeros((b, c_out, f_out), accum_dtype)
-    acc, _ = jax.lax.scan(step, acc0, (jnp.swapaxes(kmap, 0, 1), kernel))
-    return acc.astype(feats.dtype)
+    return _plain_gather_conv(feats, kmap, kernel).astype(feats.dtype)
 
 
 def sparse_conv_ones(kmap: jnp.ndarray, kernel: jnp.ndarray, n_in_rows: int,

@@ -12,6 +12,10 @@ Loop-structure parity with the reference training/trainer.py (jac99/Egonn):
 * per-epoch stat averaging, LR schedule stepped per epoch, checkpoints every
   save_freq epochs + final, dynamic batch expansion when the non-zero-triplet
   ratio drops below batch_expansion_th (reference :203-278).
+* secondary dataset: the reference BUILDS a secondary_train loader
+  (datasets/dataset_utils.py:184-192) that its loop never consumes (the epoch
+  zips only global+local, :141).  We replicate that behavior: the config keys
+  are accepted (config.py) and no secondary batches are drawn.
 
 TPU-native differences: the whole hot path — augmentation, quantization, pyramid,
 both forwards, both losses, optimizer — is ONE jitted program per batch-size
