@@ -382,9 +382,10 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             val = win_row - q[:, None]                     # (tile, sub)
+            # unsigned compare: uint32(val) < kz == (0 <= val < kz) in one op;
             # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
             # (val == 0) — mask it out
-            hit = (val >= 0) & (val < kz) & (q[:, None] != 2**31 - 1)
+            hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
             shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
             out_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
             return 0
@@ -466,8 +467,9 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
             q = q_ref[0, 0, k, :]                          # (tile,)
             val = win_row - q[:, None]                     # (tile, sub)
-            # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
-            hit = (val >= 0) & (val < kz) & (q[:, None] != 2**31 - 1)
+            # unsigned compare folds (0 <= val < kz) into one op; q == MAXKEY
+            # (invalid) would "match" the table's MAXKEY padding — mask it out
+            hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
             shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
             bits_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
             # MAXKEY pads and later keys compare >= q, so this counts exactly

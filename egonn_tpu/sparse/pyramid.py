@@ -190,7 +190,10 @@ def _lookup_batched(in_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     Measured on v5e at the conv0 workload (125 x 16k x 8): 103 ms gather path
     -> 53 ms banded."""
     n_in = in_keys.shape[1]
-    if _use_banded_lookup() and queries.shape[-1] % 128 == 0:
+    # K == 1 (up maps): the banded kernel's per-step overhead dominates at one
+    # offset per tile (measured 3.9 ms for all levels vs ~1.5 ms gather path)
+    if _use_banded_lookup() and queries.shape[-1] % 128 == 0 \
+            and queries.shape[1] > 1:
         from egonn_tpu.sparse.banded import banded_lookup
 
         pos, _ = banded_lookup(in_keys, queries)
