@@ -129,15 +129,22 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
         ti = pl.program_id(1)
         iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
+        # precision pinned to DEFAULT: a global jax_default_matmul_precision
+        # of "highest" (e.g. the test conftest) would request an fp32 contract
+        # on bf16 operands, which this Mosaic build rejects
+        prec = jax.lax.Precision.DEFAULT
+
         def k_step(k, acc):
             dk = pl.multiple_of(starts_ref[0, ti, k], 16)
             sub_w = feats_ref[0, pl.ds(dk, sub), :]
             rel_k = rel_ref[0, 0, k, :]
             oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
-            g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32)
+            g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
+                        precision=prec)
             return acc + jnp.dot(g.astype(jnp.bfloat16),
                                  kern_ref[k].astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
 
         # statically unrolled over offsets: lax.fori_loop's per-iteration
         # overhead measured ~2x the whole kernel (L1 7.7 -> 3.3 ms unrolled)

@@ -11,8 +11,11 @@ import jax
 # env vars (JAX_PLATFORMS / XLA_FLAGS force_host_platform_device_count) are
 # overridden by it under this JAX version — the config API before backend
 # init is the only route that actually yields 8 CPU devices (verified).
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# EGONN_TEST_TPU=1 keeps the real TPU backend instead (for the on-chip
+# validation tier, tests/test_banded_tpu.py).
+if os.environ.get("EGONN_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # The environment defaults to degraded (bf16-class) matmul precision, matching the
 # TPU MXU's native pass. Golden numeric tests need true f32 accumulation.
