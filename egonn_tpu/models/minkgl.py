@@ -62,6 +62,9 @@ class MinkTrunk(nn.Module):
         x = SparseConv(self.in_channels, inplanes, k0, kaiming=True, name="conv0")(
             feats0, pyramid[0].kmap_self
         )
+        from egonn_tpu.sparse.conv import activation_dtype
+
+        x = x.astype(activation_dtype())  # bf16 activation flow on TPU
         x = SparseBatchNorm(inplanes, name="bn0")(x, pyramid[0].mask, train)
         x = nn.relu(x)
         x = masked(x, pyramid[0].mask)

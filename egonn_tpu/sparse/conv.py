@@ -47,6 +47,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def activation_dtype():
+    """Storage dtype for trunk/head activations.  EGONN_BF16_ACTS=1 stores
+    them bf16 on TPU — halves activation memory (relevant at the batch-128
+    envelope), measured perf-neutral on the inference bench (the conv kernels
+    compute in bf16 either way), so default off to keep training numerics
+    byte-stable."""
+    if os.environ.get("EGONN_BF16_ACTS", "0") == "1" and _on_tpu():
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _pad_zero_row(feats: jnp.ndarray) -> jnp.ndarray:
     """Append a zero feature row per cloud so the sentinel index C_in gathers 0."""
     b, _, f = feats.shape

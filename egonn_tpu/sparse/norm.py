@@ -47,17 +47,20 @@ class SparseBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (feats - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (feats.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
-        return y * mask[..., None].astype(y.dtype)
+        # preserve the input activation dtype (bf16 activation flow keeps the
+        # elementwise/BN HBM traffic halved; stats stay f32 above)
+        return (y * mask[..., None].astype(y.dtype)).astype(feats.dtype)
 
 
 def global_avg_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked mean over voxels: (B, C, F), (B, C) -> (B, F).
     ME.MinkowskiGlobalAvgPooling equivalent."""
-    m = mask[..., None].astype(feats.dtype)
+    m = mask[..., None].astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    return jnp.sum(feats * m, axis=1) / cnt
+    # reduce in f32: a bf16 sum over ~16k voxels loses mantissa
+    return jnp.sum(feats.astype(jnp.float32) * m, axis=1) / cnt
 
 
 def global_max_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -70,4 +73,4 @@ def global_max_pool(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def broadcast_mul(feats: jnp.ndarray, per_cloud: jnp.ndarray) -> jnp.ndarray:
     """Multiply every voxel's features by a per-cloud (B, F) vector.
     ME.MinkowskiBroadcastMultiplication equivalent."""
-    return feats * per_cloud[:, None, :]
+    return feats * per_cloud[:, None, :].astype(feats.dtype)
