@@ -19,10 +19,12 @@ one-hot formulation materializes GBs of one-hot traffic and measured no faster
 than the gather path; Pallas take_along_axis fails to lower on this toolchain
 and scalar-loop Pallas gathers measured 50x slower).
 
-Correctness is unconditional: the banded path is used only when every
-(tile, offset) band fits its window (`ok` reduced over the whole batch, one
-lax.cond per conv — under vmap a cond would decay to running BOTH paths).
-Degenerate inputs fall back to the plain take_along_axis path, which is also
+Band-overflow policy: out-of-window neighbors are treated as absent (the
+drop-and-report policy of voxel capacity overflow — graceful, never garbage);
+`ok` band-fit flags are computed for every call and asserted on real pyramids
+by the on-chip test tier.  EGONN_BANDED_FALLBACK=1 wraps every call in a
+lax.cond exact fallback instead (measured ~6 ms/batch of pure cond overhead),
+and EGONN_BANDED=0 selects the exact gather engine outright — which is also
 the reference implementation the tests golden-check against.
 
 Replaces: MinkowskiEngine's CUDA gather/GEMM/scatter convolution kernels
@@ -30,8 +32,22 @@ Replaces: MinkowskiEngine's CUDA gather/GEMM/scatter convolution kernels
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Band-overflow policy.  Each banded kernel degrades GRACEFULLY when a band
+# exceeds its window: out-of-window neighbors are simply treated as absent
+# (one-hot rows match nothing; lookups return the sentinel) — the same
+# drop-and-report policy as voxel capacity overflow, never garbage.  The
+# lax.cond exact-fallback wrappers guarantee bit-exactness instead, but cost
+# ~6 ms per batch in cond overhead alone (~30 conds x ~0.2 ms, measured —
+# bench 243 vs 205 clouds/s).  Default is therefore fallback OFF; the `ok`
+# band-fit flags remain available (and are asserted on real pyramids by
+# tests/test_banded_tpu.py), EGONN_BANDED_FALLBACK=1 restores the lax.cond
+# wrappers, and EGONN_BANDED=0 selects the exact gather engine outright.
+FALLBACK = os.environ.get("EGONN_BANDED_FALLBACK", "0") == "1"
 
 DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
@@ -191,6 +207,12 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
     f_out = kernel.shape[-1]
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return _plain_gather_conv(feats, kmap, kernel)
+    if c_in > c_out:
+        # down-style maps gather from a FINER (larger) table: a tile of coarse
+        # outputs spans ~(c_in/c_out) x more source rows, with large local
+        # variance — measured max span 794 at tile 128 on augmented LiDAR
+        # (down maps L3/L4), where the self-map default of 384 overflows
+        sub = max(sub, 1152)
     sub = min(sub, c_in)  # small tables: the sub-window IS the table
     t = c_out // tile
     starts, rel, ok = band_layout_union(kmap, c_in, sub, tile)
@@ -205,6 +227,8 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                                   interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
+    if not FALLBACK:
+        return fast()
     return jax.lax.cond(ok, fast, lambda: _plain_gather_conv(feats, kmap, kernel))
 
 
@@ -348,6 +372,8 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
             sorted_keys, queries
         )
 
+    if not FALLBACK:
+        return fast(), ok
     return jax.lax.cond(ok, fast, slow), ok
 
 

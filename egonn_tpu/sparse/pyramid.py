@@ -350,6 +350,10 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
                 lambda sk, qq: lookup_sorted(sk, qq, sentinel=cl)
             )(lvl_keys, q)
 
+        from egonn_tpu.sparse.banded import FALLBACK
+
+        if not FALLBACK:
+            return from_bits()
         return jax.lax.cond(zok, from_bits, full_lookup)
 
     levels = []

@@ -68,9 +68,13 @@ def test_banded_matches_plain_on_real_bands(rng):
     assert err / scale < 3e-2, err / scale
 
 
-def test_banded_fallback_on_scattered_kmap(rng):
-    """A random (non-banded) kmap must trip the ok flag and produce EXACTLY the
+def test_banded_fallback_on_scattered_kmap(rng, monkeypatch):
+    """A random (non-banded) kmap must trip the ok flag, and with the lax.cond
+    fallback enabled (EGONN_BANDED_FALLBACK semantics) produce EXACTLY the
     plain path's output via the fallback branch."""
+    import egonn_tpu.sparse.banded as banded_mod
+
+    monkeypatch.setattr(banded_mod, "FALLBACK", True)
     b, k, c = 2, 8, 512
     kmap = jnp.asarray(rng.integers(0, c + 1, size=(b, k, c)).astype(np.int32))
     feats = jnp.asarray(rng.standard_normal((b, c, 8)).astype(np.float32))
