@@ -565,3 +565,32 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
                                    stride, interpret=interpret)
     tr = lambda a: jnp.transpose(a, (0, 2, 1, 3)).reshape(b, kxy, c_out)  # noqa: E731
     return tr(bits), tr(rank), ok
+
+
+def band_fit_report(pyramid, spec) -> dict:
+    """Band-fit health check for the drop-and-report overflow policy.
+
+    Returns {name: ok} for every banded kernel a forward/backward pass will
+    run on this pyramid: self-conv bands (forward and offset-reversed backward)
+    at the conv sub-width, down-conv bands at the widened down sub-width, and
+    the zrun map-build bands.  All True means the banded engine's outputs are
+    bit-identical to the exact gather engine on this data; a False pinpoints
+    where out-of-window neighbors were dropped.  The trainer logs this
+    periodically (train/trainer.py), mirroring the per-level `Level.n_unique`
+    capacity-overflow diagnostics.
+    """
+    report = {}
+    for l in range(1, spec.num_levels + 1):
+        lvl = pyramid[l]
+        if lvl.kmap_self is not None:
+            cs = spec.capacities[l]
+            _, _, ok_f = band_layout_union(lvl.kmap_self, cs, DEFAULT_SUB, DEFAULT_TILE)
+            _, _, ok_r = band_layout_union(lvl.kmap_self[:, ::-1, :], cs,
+                                           DEFAULT_SUB, DEFAULT_TILE)
+            report[f"self_L{l}"] = bool(ok_f) and bool(ok_r)
+        if lvl.kmap_down is not None:
+            cd = spec.capacities[l - 1]
+            sub_d = min(max(DEFAULT_SUB, 1152), cd)
+            _, _, ok_d = band_layout_union(lvl.kmap_down, cd, sub_d, DEFAULT_TILE)
+            report[f"down_L{l}"] = bool(ok_d)
+    return report

@@ -244,6 +244,7 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     rng_np = np.random.default_rng(0)
     test_evaluator = None  # built lazily ONCE — a fresh GLEvaluator per eval
     # would carry fresh jit caches (VERDICT r1 weak #6)
+    last_global = None  # last train batch, for the periodic band-fit check
 
     for epoch in range(1, params.epochs + 1):
         t_epoch = time.time()
@@ -268,6 +269,8 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
 
             running: List[Dict[str, float]] = []
             for count, (g, l) in enumerate(Prefetcher(batches)):
+                if phase == "train":
+                    last_global = g
                 if debug and count >= 2:
                     break
                 if g.positives_mask.sum() == 0 or g.negatives_mask.sum() == 0:
@@ -300,6 +303,31 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                       "tuples have positives and both loaders are non-empty")
 
         state = state.replace(epoch=state.epoch + 1)
+
+        # periodic band-fit health check (the banded kernels' drop-and-report
+        # overflow policy — all True means the epoch's banded outputs were
+        # bit-identical to the exact gather engine; see sparse/banded.py)
+        if epoch % 10 == 1 and last_global is not None:
+            try:
+                from egonn_tpu.data.pipeline import device_preprocess_global
+                from egonn_tpu.sparse.banded import band_fit_report
+                from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+
+                if USE_BANDED and _on_tpu():
+                    pyr_chk = jax.jit(
+                        lambda c, m, k: device_preprocess_global(
+                            c, m, built.quantizer, built.pyramid_spec, rng_key=k)
+                    )(jnp.asarray(last_global.clouds),
+                      jnp.asarray(last_global.point_mask),
+                      jax.random.PRNGKey(epoch))
+                    rep = band_fit_report(pyr_chk, built.pyramid_spec)
+                    bad = [k for k, v in rep.items() if not v]
+                    if bad:
+                        print(f"WARNING: band overflow (neighbors dropped) in "
+                              f"{bad} — consider EGONN_BANDED_FALLBACK=1 or "
+                              "wider sub-windows")
+            except Exception as e:
+                print(f"WARNING: band-fit check failed: {e}")
 
         # periodic in-training evaluation on the test set (reference :258-265)
         if params.test_file and epoch % 10 == 0:
