@@ -110,6 +110,25 @@ def main():
     _ = jax.device_get(out[0][:1, :1])
     dt = (time.perf_counter() - t0) / iters
 
+    # band-fit health on the benched data (drop-and-report overflow policy —
+    # sparse/banded.py): all True means the banded outputs are bit-identical
+    # to the exact gather engine on these pyramids
+    band_ok = True
+    try:
+        from egonn_tpu.sparse.banded import band_fit_report_traced
+        from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+
+        if USE_BANDED and _on_tpu():
+            rep = jax.device_get(jax.jit(
+                lambda c, m: band_fit_report_traced(mk_pyr(c, m), spec)
+            )(variants[-1], mask))
+            band_ok = all(bool(v) for v in rep.values())
+            if not band_ok:
+                print("WARNING: band overflow on bench data:",
+                      [k for k, v in rep.items() if not v], file=sys.stderr)
+    except Exception as e:
+        print(f"WARNING: band-fit check failed: {e}", file=sys.stderr)
+
     clouds_per_sec = b / dt
     print(
         json.dumps(
@@ -118,6 +137,7 @@ def main():
                 "value": round(clouds_per_sec, 2),
                 "unit": "clouds/s",
                 "vs_baseline": round(clouds_per_sec / V100_BASELINE_CLOUDS_PER_SEC, 3),
+                "band_ok": band_ok,
             }
         )
     )

@@ -70,6 +70,10 @@ class Evaluator:
             ]
         self.pc_loader = get_pointcloud_loader(dataset_type)
         self._forward = {}  # keyed by with_local — the two jits differ
+        # band-fit flags of the banded engine on this evaluator's data
+        # ({} when the banded engine is off); populated on the first embedded
+        # batch — the drop-and-report overflow policy (sparse/banded.py)
+        self.band_ok: Optional[Dict[str, bool]] = None
 
     # ---------- embedding computation ----------
 
@@ -89,6 +93,39 @@ class Evaluator:
 
         return forward
 
+    def _check_band_fit(self, clouds, mask):
+        """Band-fit flags of every banded kernel on one real eval batch.
+
+        The banded engine's production default treats out-of-window neighbors
+        as absent (drop-and-report, sparse/banded.py) — this surfaces the
+        report at eval time so a pyramid denser than the tuned sub-windows
+        cannot silently degrade recall.  Runs once per evaluator (the data
+        distribution is fixed)."""
+        from egonn_tpu.sparse.banded import FALLBACK, band_fit_report_traced
+        from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+
+        if not (USE_BANDED and _on_tpu()) or FALLBACK:
+            self.band_ok = {}  # exact engine (or cond-fallback): nothing to drop
+            return
+        quantizer, spec = self.built.quantizer, self.built.pyramid_spec
+
+        @jax.jit
+        def check(c, m):
+            res = jax.vmap(
+                lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0],
+                                                  need_index=False)
+            )(c, m)
+            pyr = build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
+            return band_fit_report_traced(pyr, spec)
+
+        self.band_ok = {k: bool(v)
+                        for k, v in jax.device_get(check(clouds, mask)).items()}
+        bad = [k for k, v in self.band_ok.items() if not v]
+        if bad:
+            print(f"WARNING: band overflow at eval (neighbors dropped) in {bad}"
+                  " — recall may degrade; use EGONN_BANDED_FALLBACK=1 or wider"
+                  " sub-windows (sparse/banded.py)")
+
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):
         """Returns dict of stacked numpy outputs for all elements of the subset."""
@@ -106,6 +143,8 @@ class Evaluator:
             for i, e in enumerate(chunk):
                 pc = self.pc_loader(os.path.join(self.dataset_root, e.rel_scan_filepath))
                 clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32), self.num_points)
+            if self.band_ok is None:
+                self._check_band_fit(jnp.asarray(clouds), jnp.asarray(mask))
             y = fwd(variables, jnp.asarray(clouds), jnp.asarray(mask))
             y = jax.device_get(y)
             n = len(chunk)
@@ -132,7 +171,9 @@ class Evaluator:
     def evaluate(self, variables) -> Dict:
         map_e = self.compute_embeddings(variables, self.eval_set.map_set)
         query_e = self.compute_embeddings(variables, self.eval_set.query_set)
-        return self.compute_recall(map_e["global"], query_e["global"])
+        metrics = self.compute_recall(map_e["global"], query_e["global"])
+        metrics["band_ok"] = self.band_ok
+        return metrics
 
     def compute_recall(self, map_emb: np.ndarray, query_emb: np.ndarray) -> Dict:
         """Recall@N protocol (reference eval/evaluate.py:73-116)."""
@@ -211,6 +252,7 @@ class GLEvaluator(Evaluator):
         query_e = self.compute_embeddings(variables, self.eval_set.query_set,
                                           with_local=True, n_k=n_k_max)
         global_metrics = self.compute_recall(map_e["global"], query_e["global"])
+        global_metrics["band_ok"] = self.band_ok
         top1 = global_metrics["top1_ndx"]
 
         map_pos = self.eval_set.get_map_positions()

@@ -5,8 +5,9 @@ every query cloud by theta in {0, 10, ..., 180} degrees about +z, recompute the
 query embeddings, and report Recall@N per rotation (the map set is embedded once).
 Results are returned as {theta_deg: recall_dict} and can be pickled by the caller.
 
-TPU-native: the rotation is applied on device inside the embedding forward (a
-3x3 matmul on the padded cloud), so all rotations reuse one compiled program.
+The rotation is applied on host by wrapping the point-cloud loader (a 3x3
+matmul on the raw cloud before padding); every rotation still reuses the one
+compiled embedding program, since the device sees the same padded shapes.
 """
 from __future__ import annotations
 

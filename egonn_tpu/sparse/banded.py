@@ -78,12 +78,14 @@ def _plain_gather_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarra
 
 def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
     """Band layout for the VMEM-resident conv kernel: per (batch, offset, tile)
-    an 8-aligned absolute sub-window start into the feature table, such that
-    all of that tile's gathers for that offset land inside [start, start+sub).
-    The kernel's one-hot compare + matmul then run over `sub` columns — the
-    VPU one-hot build is the inner-loop cost and scales with the compare width.
+    a 16-aligned absolute sub-window start into the feature table (bf16
+    sublane granularity — the Pallas kernel asserts pl.multiple_of(start, 16)),
+    such that all of that tile's gathers for that offset land inside
+    [start, start+sub).  The kernel's one-hot compare + matmul then run over
+    `sub` columns — the VPU one-hot build is the inner-loop cost and scales
+    with the compare width.
 
-    Returns (starts (B, T, K) int32 multiples of 8, rel (B, T, K, tile) int32
+    Returns (starts (B, T, K) int32 multiples of 16, rel (B, T, K, tile) int32
     in [0, sub] with sub marking invalid, ok () bool — True iff every band
     fits; callers lax.cond to the plain gather path otherwise).
     """
@@ -567,30 +569,84 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     return tr(bits), tr(rank), ok
 
 
+def zrun_fit(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
+             sub: int = DEFAULT_SUB, stride: int = DEFAULT_STRIDE,
+             tile: int = DEFAULT_TILE):
+    """Band-fit flag for a zrun presence/rank call WITHOUT running the kernel:
+    the same gather-free prepass zrun_presence/zrun_rank run internally.
+    Returns a () bool (traced)."""
+    b, c_in = sorted_keys.shape
+    _, kxy, c_out = q_lo.shape
+    if c_out % tile != 0:
+        return jnp.bool_(True)  # banded path unused at this shape
+    t = c_out // tile
+    maxkey = jnp.int32(2**31 - 1)
+    q4 = q_lo.reshape(b, kxy, t, tile)
+    valid = q4 != maxkey
+    q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
+    q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    _, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
+    return ok
+
+
+def band_fit_report_traced(pyramid, spec) -> dict:
+    """band_fit_report with traced (jnp scalar bool) values — usable inside jit
+    so evaluators/bench can compute it alongside a forward pass."""
+    report = {}
+    for l in range(spec.num_levels + 1):
+        lvl = pyramid[l]
+        # conv-stage bands (banded_conv_pallas over kmap_self / kmap_down).
+        # Level 0 runs sparse_conv_ones when conv0_ones (no banded conv).
+        if lvl.kmap_self is not None and not (l == 0 and spec.conv0_ones):
+            cs = spec.capacities[l]
+            sub_s = min(DEFAULT_SUB, cs)
+            ok_f = band_layout_union(lvl.kmap_self, cs, sub_s, DEFAULT_TILE)[2]
+            ok_r = band_layout_union(lvl.kmap_self[:, ::-1, :], cs,
+                                     sub_s, DEFAULT_TILE)[2]
+            report[f"self_L{l}"] = jnp.logical_and(ok_f, ok_r)
+        if lvl.kmap_down is not None:
+            cd = spec.capacities[l - 1]
+            sub_d = min(max(DEFAULT_SUB, 1152), cd)
+            report[f"down_L{l}"] = band_layout_union(
+                lvl.kmap_down, cd, sub_d, DEFAULT_TILE)[2]
+        # map-BUILD bands: the zrun kernels that constructed kmap_self.  An
+        # overflow here yields a wrong kernel map that the conv-stage check
+        # above can still score healthy (the map itself is in-band), so the
+        # build-time prepass is re-evaluated from the level's coords.
+        from egonn_tpu.sparse.pyramid import (
+            _use_banded_lookup, _xy_offsets, _zrun_queries,
+        )
+
+        if lvl.kmap_self is not None and spec.capacities[l] % 128 == 0 \
+                and _use_banded_lookup():
+
+            k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
+            pack_l = spec.pack_at(l)
+            from egonn_tpu.sparse.packing import pack_keys
+
+            keys_l = jax.vmap(lambda c, m: pack_keys(c, m, pack_l))(
+                lvl.coords, lvl.mask)
+            q_lo, _, _ = jax.vmap(
+                lambda c, m: _zrun_queries(c, m, _xy_offsets(k), k, -(k // 2),
+                                           pack_l)
+            )(lvl.coords, lvl.mask)
+            report[f"zbuild_L{l}"] = zrun_fit(keys_l, q_lo, kz=k)
+    return report
+
+
 def band_fit_report(pyramid, spec) -> dict:
     """Band-fit health check for the drop-and-report overflow policy.
 
     Returns {name: ok} for every banded kernel a forward/backward pass will
     run on this pyramid: self-conv bands (forward and offset-reversed backward)
     at the conv sub-width, down-conv bands at the widened down sub-width, and
-    the zrun map-build bands.  All True means the banded engine's outputs are
-    bit-identical to the exact gather engine on this data; a False pinpoints
-    where out-of-window neighbors were dropped.  The trainer logs this
-    periodically (train/trainer.py), mirroring the per-level `Level.n_unique`
-    capacity-overflow diagnostics.
+    the zrun map-BUILD bands (re-derived from each level's coords — a build
+    overflow produces a wrong kmap that conv-stage checks alone cannot see).
+    All True means the banded engine's outputs are bit-identical to the exact
+    gather engine on this data; a False pinpoints where out-of-window
+    neighbors were dropped.  The trainer logs this periodically
+    (train/trainer.py) and evaluators surface it per run (eval/evaluator.py),
+    mirroring the per-level `Level.n_unique` capacity-overflow diagnostics.
     """
-    report = {}
-    for l in range(1, spec.num_levels + 1):
-        lvl = pyramid[l]
-        if lvl.kmap_self is not None:
-            cs = spec.capacities[l]
-            _, _, ok_f = band_layout_union(lvl.kmap_self, cs, DEFAULT_SUB, DEFAULT_TILE)
-            _, _, ok_r = band_layout_union(lvl.kmap_self[:, ::-1, :], cs,
-                                           DEFAULT_SUB, DEFAULT_TILE)
-            report[f"self_L{l}"] = bool(ok_f) and bool(ok_r)
-        if lvl.kmap_down is not None:
-            cd = spec.capacities[l - 1]
-            sub_d = min(max(DEFAULT_SUB, 1152), cd)
-            _, _, ok_d = band_layout_union(lvl.kmap_down, cd, sub_d, DEFAULT_TILE)
-            report[f"down_L{l}"] = bool(ok_d)
-    return report
+    return {k: bool(v) for k, v in band_fit_report_traced(pyramid, spec).items()}

@@ -174,8 +174,8 @@ def _tconv_bwd(res, g):
 sparse_tconv2x2_vjp.defvjp(_tconv_fwd, _tconv_bwd)
 
 
-def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
-                accum_dtype=jnp.float32) -> jnp.ndarray:
+def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray
+                ) -> jnp.ndarray:
     """Sparse convolution.
 
     feats:  (B, C_in, F_in) — padding rows must be zero (use types.masked).

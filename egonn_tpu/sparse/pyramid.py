@@ -298,17 +298,25 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     def _invert_up(up_parent, up_koffset, c_coarse, c_fine):
         """(B, C_fine) parent/slot -> (B, 8, C_coarse) down gather map."""
         bsz = up_parent.shape[0]
-        flat_tgt = up_koffset * (c_coarse + 1) + jnp.minimum(up_parent, c_coarse)
-        init = jnp.full((bsz, 8 * (c_coarse + 1)), c_fine, jnp.int32)
         fine_idx = jnp.broadcast_to(
             jnp.arange(c_fine, dtype=jnp.int32)[None, :], up_parent.shape
         )
-        # drop invalid fine voxels (parent == sentinel) into the dump column
+        # Valid fine voxels hit their distinct (slot, parent) cell; invalid ones
+        # (parent == sentinel) get DISTINCT out-of-bounds targets so that
+        # mode="drop" discards them and the unique_indices contract truly holds
+        # (no two rows — valid or dropped — share a target index).
+        valid = up_parent < c_coarse
+        flat_tgt = jnp.where(
+            valid,
+            up_koffset * c_coarse + jnp.minimum(up_parent, c_coarse - 1),
+            8 * c_coarse + fine_idx,
+        )
+        init = jnp.full((bsz, 8 * c_coarse), c_fine, jnp.int32)
         out = jax.vmap(
             lambda ini, tgt, val: ini.at[tgt].set(val, mode="drop",
                                                   unique_indices=True)
         )(init, flat_tgt, fine_idx)
-        return out.reshape(bsz, 8, c_coarse + 1)[:, :, :c_coarse]
+        return out.reshape(bsz, 8, c_coarse)
 
     def _self_kmap_banded(lvl_keys, lvl_coords, lvl_masks, k, pack_l, cl,
                           presence_only):

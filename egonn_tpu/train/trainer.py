@@ -91,7 +91,9 @@ def make_train_step(built: BuiltModel, params_cfg: TrainingParams, tx):
     def step(state: TrainState, g: Dict, l: Dict, rng, lr, train: bool):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            yg, bs1 = forward(variables, g["clouds"], g["point_mask"], rng, train, True)
+            # augment only in the train phase: the reference's global_val dataset
+            # has NO transform (datasets/dataset_utils.py:24-27)
+            yg, bs1 = forward(variables, g["clouds"], g["point_mask"], rng, train, train)
             gl_loss, gl_stats = gl_loss_fn(
                 yg["global"], g["positives_mask"], g["negatives_mask"]
             )
@@ -107,9 +109,13 @@ def make_train_step(built: BuiltModel, params_cfg: TrainingParams, tx):
                 l["t_gt"],
             )
             total = gl_loss + loc_loss
-            stats = {"global_loss": gl_loss, "local_loss": loc_loss, "loss": gl_loss}
-            stats.update(gl_stats)
+            stats = {}
+            stats.update({k: v for k, v in gl_stats.items() if k != "loss"})
             stats.update({k: v for k, v in loc_stats.items() if k != "loss"})
+            # headline "loss" is the TOTAL both halves step on (one optimizer
+            # update for global+local, reference training/trainer.py:160-193)
+            stats.update({"global_loss": gl_loss, "local_loss": loc_loss,
+                          "loss": total})
             return total, (stats, bs3)
 
         if train:

@@ -1,0 +1,112 @@
+"""Band-fit diagnostics of the banded engine's drop-and-report overflow policy
+(sparse/banded.py): the `ok` flags must detect out-of-window bands — both at
+the CONV stage (band_layout_union) and at kernel-map BUILD time (zrun_fit) —
+and band_fit_report must aggregate them over a real pyramid.
+
+These run on CPU: the flags are pure XLA prepass logic, independent of whether
+the Pallas kernels themselves execute.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egonn_tpu.sparse.banded import (
+    DEFAULT_TILE,
+    band_fit_report,
+    band_fit_report_traced,
+    band_layout_union,
+    zrun_fit,
+)
+
+
+def test_band_layout_union_detects_overflow():
+    # one tile of 128 outputs gathering from rows 0..127 -> fits sub=256
+    c_in, tile = 1024, DEFAULT_TILE
+    kmap = np.arange(tile, dtype=np.int32)[None, None, :]  # (1, 1, 128)
+    _, _, ok = band_layout_union(jnp.asarray(kmap), c_in, sub=256, tile=tile)
+    assert bool(ok)
+
+    # same tile but one gather lands 900 rows away -> cannot fit a 256 window
+    kmap_bad = kmap.copy()
+    kmap_bad[0, 0, -1] = 950
+    _, _, ok_bad = band_layout_union(jnp.asarray(kmap_bad), c_in, sub=256,
+                                     tile=tile)
+    assert not bool(ok_bad)
+
+    # sentinel (invalid) entries are ignored by the fit
+    kmap_sent = kmap.copy()
+    kmap_sent[0, 0, -1] = c_in  # sentinel
+    _, _, ok_sent = band_layout_union(jnp.asarray(kmap_sent), c_in, sub=256,
+                                      tile=tile)
+    assert bool(ok_sent)
+
+
+def test_zrun_fit_detects_build_overflow():
+    b, c_in, tile = 1, 512, DEFAULT_TILE
+    sorted_keys = jnp.asarray(np.arange(c_in, dtype=np.int32)[None] * 3)
+    maxkey = np.int32(2**31 - 1)
+
+    # queries of one tile all inside one window -> fits
+    q = np.full((b, 1, tile), maxkey, np.int32)
+    q[0, 0, :8] = np.arange(8, dtype=np.int32) * 3
+    assert bool(zrun_fit(sorted_keys, jnp.asarray(q), kz=3, sub=256,
+                         stride=128))
+
+    # one query targets the far end of the table -> band spans ~all rows
+    q_bad = q.copy()
+    q_bad[0, 0, 8] = (c_in - 1) * 3
+    assert not bool(zrun_fit(sorted_keys, jnp.asarray(q_bad), kz=3, sub=256,
+                             stride=128))
+
+    # all-invalid tiles trivially fit
+    q_inv = np.full((b, 1, tile), maxkey, np.int32)
+    assert bool(zrun_fit(sorted_keys, jnp.asarray(q_inv), kz=3, sub=256,
+                         stride=128))
+
+    # non-tile-aligned query count -> banded path unused, fit is True
+    q_odd = np.full((b, 1, 100), maxkey, np.int32)
+    assert bool(zrun_fit(sorted_keys, jnp.asarray(q_odd), kz=3))
+
+
+def test_band_fit_report_on_real_pyramid():
+    """The aggregate report runs (traced and host-side) on an EgoNN pyramid and
+    is all-True on a small well-behaved cloud (sub-windows >= table sizes)."""
+    from egonn_tpu.ops.quantization import PolarQuantizer
+    from egonn_tpu.sparse.pyramid import build_pyramid, egonn_pyramid_spec
+
+    q = PolarQuantizer([1.0, 0.3, 0.2])
+    spec = egonn_pyramid_spec(cap0=1024, num_levels=7)
+    r = np.random.default_rng(0)
+    n = 4096
+    th = r.uniform(0, 2 * np.pi, (2, n))
+    rad = r.uniform(2, 60, (2, n))
+    z = r.uniform(-1, 8, (2, n))
+    clouds = jnp.asarray(
+        np.stack([rad * np.cos(th), rad * np.sin(th), z], -1).astype(np.float32))
+    mask = jnp.ones((2, n), bool)
+
+    def mk(c, m):
+        res = jax.vmap(lambda pc, mm: q.quantize(
+            pc, mm, spec.capacities[0], need_index=False))(c, m)
+        return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
+
+    pyr = jax.jit(mk)(clouds, mask)
+    rep = band_fit_report(pyr, spec)
+    assert rep, "report must cover the banded conv stages"
+    assert all(isinstance(v, bool) for v in rep.values())
+    assert all(rep.values()), f"unexpected band overflow: {rep}"
+    # the traced variant is jit-compatible and agrees
+    rep_t = jax.device_get(jax.jit(
+        lambda c, m: band_fit_report_traced(mk(c, m), spec))(clouds, mask))
+    assert {k: bool(v) for k, v in rep_t.items()} == rep
+
+
+def test_evaluator_band_check_cpu_noop(tmp_path):
+    """On the exact (non-banded) engine the evaluator's band check records {}
+    — nothing can be dropped."""
+    from egonn_tpu.eval.evaluator import Evaluator
+
+    ev = Evaluator.__new__(Evaluator)
+    ev.band_ok = None
+    ev._check_band_fit(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8), bool))
+    assert ev.band_ok == {}

@@ -69,3 +69,14 @@ def test_train_step_runs_and_updates(rng):
     _, stats_eval = step_fn(state3, g, l, jax.random.PRNGKey(5), jnp.float32(1e-3),
                             train=False)
     assert np.isfinite(float(stats_eval["loss"]))
+    # VAL PARITY (reference datasets/dataset_utils.py:24-27: global_val has NO
+    # transform): the val step must not augment, so two different step rngs
+    # must produce bit-identical stats
+    _, stats_eval2 = step_fn(state3, g, l, jax.random.PRNGKey(99),
+                             jnp.float32(1e-3), train=False)
+    assert float(stats_eval["global_loss"]) == float(stats_eval2["global_loss"])
+    assert float(stats_eval["loss"]) == float(stats_eval2["loss"])
+    # the headline "loss" stat is the TOTAL (global + local), not just global
+    assert float(stats_eval["loss"]) == pytest.approx(
+        float(stats_eval["global_loss"]) + float(stats_eval["local_loss"]),
+        rel=1e-5)
