@@ -76,6 +76,27 @@ def _plain_gather_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarra
     return acc
 
 
+def conv_sub_width(c_in: int, c_out: int, sub: int = DEFAULT_SUB) -> int:
+    """The banded conv kernel's compare width for a given map shape.  Must be
+    used by both banded_conv_pallas and the band-fit reporting so the health
+    checks audit the width actually compiled.
+
+    Down-style maps (c_in > c_out) gather from a FINER (larger) table: a tile
+    of coarse outputs spans ~(c_in/c_out) x more source rows with large local
+    variance — measured max span 808 at tile 128 on (augmented) LiDAR (down
+    maps L3/L4, round-3 probe; round-2 measured 794) -> 1024.
+
+    Self maps (c_in == c_out): a tile of 128 consecutive sorted outputs
+    gathers within span <= 243 on all EgoNN levels (round-3 probe over
+    rotated/jittered LiDAR; worst at L2) — 256 fits with exact 16-aligned
+    starts, cutting the dominant VPU one-hot build cost 33% vs 384.  Overflow
+    on denser data degrades to drop-and-report (band_ok flags at
+    train/eval/bench surface it; EGONN_BANDED_FALLBACK=1 restores exact
+    lax.cond fallbacks)."""
+    sub = max(sub, 1024) if c_in > c_out else min(sub, 256)
+    return min(sub, c_in)  # small tables: the sub-window IS the table
+
+
 def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
     """Band layout for the VMEM-resident conv kernel: per (batch, offset, tile)
     a 16-aligned absolute sub-window start into the feature table (bf16
@@ -209,13 +230,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
     f_out = kernel.shape[-1]
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return _plain_gather_conv(feats, kmap, kernel)
-    if c_in > c_out:
-        # down-style maps gather from a FINER (larger) table: a tile of coarse
-        # outputs spans ~(c_in/c_out) x more source rows, with large local
-        # variance — measured max span 794 at tile 128 on augmented LiDAR
-        # (down maps L3/L4), where the self-map default of 384 overflows
-        sub = max(sub, 1152)
-    sub = min(sub, c_in)  # small tables: the sub-window IS the table
+    sub = conv_sub_width(c_in, c_out, sub)
     t = c_out // tile
     starts, rel, ok = band_layout_union(kmap, c_in, sub, tile)
     f_pad = 128 - f_in
@@ -600,14 +615,14 @@ def band_fit_report_traced(pyramid, spec) -> dict:
         # Level 0 runs sparse_conv_ones when conv0_ones (no banded conv).
         if lvl.kmap_self is not None and not (l == 0 and spec.conv0_ones):
             cs = spec.capacities[l]
-            sub_s = min(DEFAULT_SUB, cs)
+            sub_s = conv_sub_width(cs, cs)
             ok_f = band_layout_union(lvl.kmap_self, cs, sub_s, DEFAULT_TILE)[2]
             ok_r = band_layout_union(lvl.kmap_self[:, ::-1, :], cs,
                                      sub_s, DEFAULT_TILE)[2]
             report[f"self_L{l}"] = jnp.logical_and(ok_f, ok_r)
         if lvl.kmap_down is not None:
             cd = spec.capacities[l - 1]
-            sub_d = min(max(DEFAULT_SUB, 1152), cd)
+            sub_d = conv_sub_width(cd, spec.capacities[l])
             report[f"down_L{l}"] = band_layout_union(
                 lvl.kmap_down, cd, sub_d, DEFAULT_TILE)[2]
         # map-BUILD bands: the zrun kernels that constructed kmap_self.  An

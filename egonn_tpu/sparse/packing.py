@@ -113,20 +113,25 @@ def sorted_unique(coords_t: jnp.ndarray | None, mask: jnp.ndarray | None,
         sorted_rows = None
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     is_first = (sorted_keys != prev) & (sorted_keys != MAXKEY)
-    rank = jnp.cumsum(is_first) - 1  # unique ordinal of each run start
 
-    out_keys = jnp.full((capacity,), MAXKEY, jnp.int32)
-    sel = is_first & (rank < capacity)
-    tgt = jnp.where(sel, rank, capacity)  # 'capacity' drops via mode='drop'
-    out_keys = out_keys.at[tgt].set(jnp.where(sel, sorted_keys, MAXKEY),
-                                    mode="drop", unique_indices=True)
-    out_mask = out_keys != MAXKEY
+    # Compaction by SECOND SORT (not scatter): run starts keep their key,
+    # duplicates/pads become MAXKEY; the unique keys are already ascending, so
+    # one more sort moves the MAXKEYs to the end and the first `capacity`
+    # entries are the compacted voxel set (lowest keys kept on overflow —
+    # identical to the old rank<capacity policy).  A TPU scatter executes
+    # serially (~4.6 ns/element measured on v5e: 2.4 ms for the 8x65k batch)
+    # while lax.sort of the same array is ~0.4 ms.
+    uniq = jnp.where(is_first, sorted_keys, MAXKEY)
     if sorted_rows is not None:
-        out_rows = jnp.zeros((capacity,), jnp.int32)
-        out_rows = out_rows.at[tgt].set(jnp.where(sel, sorted_rows, 0),
-                                        mode="drop", unique_indices=True)
+        out_keys, out_rows = jax.lax.sort((uniq, sorted_rows), num_keys=1,
+                                          is_stable=False)
+        out_keys = out_keys[:capacity]
+        out_rows = jnp.where(out_keys != MAXKEY, out_rows[:capacity], 0)
+        out_mask = out_keys != MAXKEY
         out_coords = coords_t[:, out_rows]
     else:
+        out_keys = jax.lax.sort(uniq)[:capacity]
+        out_mask = out_keys != MAXKEY
         out_rows = jnp.zeros((capacity,), jnp.int32)
         # coordinates reconstructed losslessly from the packed keys
         out_coords = jnp.where(out_mask[None, :], unpack_keys(out_keys, spec), 0)

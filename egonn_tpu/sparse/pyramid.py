@@ -53,6 +53,7 @@ from egonn_tpu.sparse.packing import (
     lookup_sorted,
     pack_keys,
     sorted_unique,
+    unpack_keys,
 )
 from egonn_tpu.sparse.types import Level, Pyramid
 
@@ -216,16 +217,23 @@ def _build_kmap(in_keys: jnp.ndarray, out_coords_t: jnp.ndarray, out_mask: jnp.n
 
 def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
                         spec: PyramidSpec, keys0: jnp.ndarray | None = None):
-    """Per-cloud dedup chain (vmapped): the sorted voxel sets of every level.
+    """Per-cloud dedup chain (vmapped): the sorted voxel sets of every level,
+    PLUS each level's up-map parent indices as a by-product.
 
     If keys0 is given, level 0 is taken as already canonical (sorted unique keys
     with MAXKEY padding — exactly a Quantizer.quantize output) and no level-0
     dedup happens.  Otherwise level 0 is re-canonicalized and (when
     spec.need_source_index) source_index maps level-0 rows to input rows.
 
-    Down levels dedup with a cheap single-operand sort of halve_keys output
-    (halving does not preserve order; see packing.halve_keys).
+    Down levels dedup by sorting halve_keys output (halving does not preserve
+    order; see packing.halve_keys).  The parent of fine voxel f in the
+    compacted level-l table is exactly the unique-ordinal (cumsum rank) of its
+    halved key — so up_parent falls out of the dedup sort for free, replacing
+    the per-level sorted-table lookups (measured 1.6 ms of bucket row-gathers
+    per batch-8 forward) with one extra cheap dual sort per level.
     """
+    from egonn_tpu.sparse.packing import MAXKEY
+
     source_index = jnp.zeros((spec.capacities[0],), jnp.int32)
     if keys0 is not None:
         coords = [coords0_t]
@@ -240,20 +248,40 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         if spec.need_source_index:
             source_index = u0.index
     n_uniques = [jnp.asarray(n_unique0, jnp.int32)]
+    up_parents = []  # element i: (cap_i,) parent position of fine level i in
+    # level i+1's compacted table (sentinel cap_{i+1})
 
     for l in range(1, spec.num_levels + 1):
         down_keys = halve_keys(keys[l - 1], spec.pack_at(l - 1))
+        cap_l = spec.capacities[l]
+        n = down_keys.shape[0]
+        fine_pos = jnp.arange(n, dtype=jnp.int32)
         # NOTE: halving does NOT preserve sortedness (collapsing a higher field
         # makes the comparison fall through to lower fields), so a re-sort is
-        # needed — but single-operand (need_index=False) and on the already
-        # capacity-bounded arrays, so it's cheap.
-        u = sorted_unique(None, None, spec.capacities[l], spec.pack_at(l),
-                          keys=down_keys, need_index=False)
-        coords.append(u.coords_t)
-        masks.append(u.mask)
-        keys.append(u.keys)
-        n_uniques.append(u.n_unique)
-    return tuple(coords), tuple(masks), tuple(keys), tuple(n_uniques), source_index
+        # needed — dual-operand to carry the fine position for the up map.
+        sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1, is_stable=False)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
+        is_first = (sk != prev) & (sk != MAXKEY)
+        rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
+        pr = jnp.where((sk != MAXKEY) & (rank < cap_l), rank, cap_l
+                       ).astype(jnp.int32)
+        # back to fine order: invert the sort permutation with one more sort
+        _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
+        up_parents.append(up_par)
+        # compaction by second sort (see packing.sorted_unique): unique keys
+        # ascending, dups/pads -> MAXKEY sort to the end
+        uniq = jnp.where(is_first, sk, MAXKEY)
+        out_keys = jax.lax.sort(uniq)[:cap_l]
+        out_mask = out_keys != MAXKEY
+        pack_l = spec.pack_at(l)
+        out_coords = jnp.where(out_mask[None, :],
+                               unpack_keys(out_keys, pack_l), 0)
+        coords.append(out_coords)
+        masks.append(out_mask)
+        keys.append(out_keys)
+        n_uniques.append(jnp.sum(is_first).astype(jnp.int32))
+    return (tuple(coords), tuple(masks), tuple(keys), tuple(n_uniques),
+            source_index, tuple(up_parents))
 
 
 def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
@@ -271,29 +299,26 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     if n_unique0 is None:
         n_unique0 = jnp.sum(mask0, axis=1).astype(jnp.int32)
     if keys0 is not None:
-        coords, masks, keys, n_uniques, src_idx = jax.vmap(
+        coords, masks, keys, n_uniques, src_idx, up_parents = jax.vmap(
             lambda c, m, n, k: _dedup_chain_single(c, m, n, spec, keys0=k)
         )(coords0_t, mask0, n_unique0, keys0)
     else:
-        coords, masks, keys, n_uniques, src_idx = jax.vmap(
+        coords, masks, keys, n_uniques, src_idx, up_parents = jax.vmap(
             lambda c, m, n: _dedup_chain_single(c, m, n, spec)
         )(coords0_t, mask0, n_unique0)
 
-    # Up maps first: cheap lookups (one query per voxel), and each level's down
-    # map is then derived by INVERTING the finer level's up map — a unique
-    # scatter (child voxels map to distinct (parent, slot) pairs), replacing
-    # 8 lookup queries per coarse voxel with one scatter per fine voxel.
+    # Up maps come out of the dedup chain for free (the parent of a fine voxel
+    # is its halved key's unique-ordinal); each level's down map is then
+    # derived by INVERTING the finer level's up map — a unique scatter (child
+    # voxels map to distinct (parent, slot) pairs), replacing 8 lookup queries
+    # per coarse voxel with one scatter per fine voxel.
     ups = {}
     for l in spec.up_levels:
         assert l + 1 <= spec.num_levels, "up_level must have a parent level"
         parent_q = coords[l] // 2
-        qkeys = jax.vmap(
-            lambda pq, m: pack_keys(pq, m, spec.pack_at(l + 1))
-        )(parent_q, masks[l])
-        up_parent = _lookup_batched(keys[l + 1], qkeys[:, None, :])[:, 0]
         kbits = coords[l] - 2 * parent_q  # (B, 3, C) in {0, 1}
         up_koffset = (4 * kbits[:, 0] + 2 * kbits[:, 1] + kbits[:, 2]).astype(jnp.int32)
-        ups[l] = (up_parent, up_koffset)
+        ups[l] = (up_parents[l], up_koffset)
 
     def _invert_up(up_parent, up_koffset, c_coarse, c_fine):
         """(B, C_fine) parent/slot -> (B, 8, C_coarse) down gather map."""
