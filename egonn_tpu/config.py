@@ -164,6 +164,12 @@ class TrainingParams:
 
         self.aug_mode = params.getint("aug_mode", 1)
 
+        # Data-parallel mesh over local devices (TPU-native addition; the
+        # reference is single-GPU — SURVEY.md §2.5).  "auto" uses all local
+        # devices when more than one is present; "off" forces single-device;
+        # an integer uses the first N devices.
+        self.mesh = params.get("mesh", "auto")
+
         self.train_file = params.get("train_file")
         self.val_file = params.get("val_file", None)
         self.secondary_train_file = params.get("secondary_train_file", None)

@@ -46,11 +46,17 @@ class Evaluator:
     def __init__(self, dataset_root: str, dataset_type: str, eval_set_pickle: str,
                  built: BuiltModel, num_points: int = 65536, batch_size: int = 8,
                  radius=(5, 20), k: int = 50, debug: bool = False,
-                 n_samples: int | None = None):
+                 n_samples: int | None = None, mesh=None):
         self.dataset_root = dataset_root
         self.dataset_type = dataset_type
         self.built = built
         self.num_points = num_points
+        # embedding batches are sharded axis-0 over the data mesh when given
+        # (SURVEY.md §2.5: "eval fans map/query shards across chips and
+        # gathers embeddings") — round the batch up so it divides evenly
+        self.mesh = mesh
+        if mesh is not None:
+            batch_size = -(-batch_size // mesh.size) * mesh.size
         self.batch_size = batch_size
         self.radius = radius
         self.k = k
@@ -145,7 +151,14 @@ class Evaluator:
                 clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32), self.num_points)
             if self.band_ok is None:
                 self._check_band_fit(jnp.asarray(clouds), jnp.asarray(mask))
-            y = fwd(variables, jnp.asarray(clouds), jnp.asarray(mask))
+            if self.mesh is not None:
+                from egonn_tpu.parallel.mesh import batch_sharding
+
+                s = batch_sharding(self.mesh)
+                y = fwd(variables, jax.device_put(clouds, s),
+                        jax.device_put(mask, s))
+            else:
+                y = fwd(variables, jnp.asarray(clouds), jnp.asarray(mask))
             y = jax.device_get(y)
             n = len(chunk)
             outs.setdefault("global", []).append(y["global"][:n])

@@ -59,16 +59,33 @@ from egonn_tpu.train.state import (
 )
 
 
-def expansion_buckets(batch_size: int, limit: int, rate: Optional[float]) -> List[int]:
+def expansion_buckets(batch_size: int, limit: int, rate: Optional[float],
+                      multiple_of: int = 1) -> List[int]:
     """The exact batch sizes dynamic expansion can produce — each is one compiled
-    shape (reference datasets/samplers.py:79-90)."""
+    shape (reference datasets/samplers.py:79-90).  With `multiple_of` > 1 every
+    bucket is rounded UP to that multiple (a data-parallel mesh shards the batch
+    axis evenly across devices; the extra rows are mask-padded)."""
     sizes = [batch_size]
     if rate:
         b = batch_size
         while b < limit:
             b = min(int(b * rate), limit)
             sizes.append(b)
+    if multiple_of > 1:
+        sizes = sorted({-(-b // multiple_of) * multiple_of for b in sizes})
     return sizes
+
+
+def resolve_mesh(mesh_opt: str | int | None):
+    """Resolve the [TRAIN] mesh option to a Mesh or None (single device)."""
+    from egonn_tpu.parallel.mesh import make_mesh
+
+    if mesh_opt in (None, "off", "0", "1", 0, 1):
+        return None
+    n = len(jax.devices()) if mesh_opt == "auto" else int(mesh_opt)
+    if n <= 1:
+        return None
+    return make_mesh(n)
 
 
 def make_train_step(built: BuiltModel, params_cfg: TrainingParams, tx):
@@ -216,6 +233,16 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         else None
     )
 
+    # data-parallel mesh over local devices (SURVEY.md §2.5 TPU-native plan):
+    # batch axis sharded, params/optimizer replicated, XLA inserts the
+    # all-gather for the global BxB miner and the grad psum over ICI
+    mesh = resolve_mesh(getattr(params, "mesh", "auto"))
+    n_dev = mesh.size if mesh is not None else 1
+    if mesh is not None:
+        print(f"Data-parallel mesh over {n_dev} devices "
+              f"({jax.devices()[0].platform}); batch buckets rounded to "
+              f"multiples of {n_dev}")
+
     sampler = BatchSampler(
         train_ds, batch_size=params.batch_size,
         batch_size_limit=params.batch_size_limit,
@@ -223,7 +250,8 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     )
     val_sampler = BatchSampler(val_ds, batch_size=params.batch_size_limit) if val_ds else None
     buckets = expansion_buckets(
-        params.batch_size, params.batch_size_limit, params.batch_expansion_rate
+        params.batch_size, params.batch_size_limit, params.batch_expansion_rate,
+        multiple_of=n_dev,
     )
 
     tx = make_optimizer(params)
@@ -245,6 +273,12 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         lambda k, p: built.model.init(k, p, built.quantizer, train=False)
     )(rng, init_pyr)
     state = init_train_state(variables, tx)
+    if mesh is not None:
+        from egonn_tpu.parallel.mesh import batch_sharding, replicated
+
+        shard_s = batch_sharding(mesh)
+        repl_s = replicated(mesh)
+        state = jax.tree.map(lambda x: jax.device_put(x, repl_s), state)
 
     all_stats: Dict[str, List[Dict[str, float]]] = {"train": [], "val": []}
     rng_np = np.random.default_rng(0)
@@ -262,7 +296,12 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
             smp = sampler if phase == "train" else val_sampler
             local_ids = list(lds.valid_ids)
             rng_np.shuffle(local_ids)
-            lbs = params.local_batch_size
+            # local batches hold real pairs only (no mask-padding path), so the
+            # mesh requires the size to divide evenly — round up and note it
+            lbs = -(-params.local_batch_size // n_dev) * n_dev
+            if lbs != params.local_batch_size and epoch == 1 and phase == "train":
+                print(f"local_batch_size {params.local_batch_size} -> {lbs} "
+                      f"(multiple of {n_dev} mesh devices)")
             local_batches = [
                 local_ids[i : i + lbs] for i in range(0, len(local_ids) - lbs + 1, lbs)
             ]
@@ -293,6 +332,16 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                     "pos_clouds": l.pos_clouds, "pos_mask": l.pos_mask,
                     "t_gt": l.t_gt,
                 }
+                if mesh is not None:
+                    # batch axis sharded; the BxB masks are replicated (the
+                    # miner consumes the all-gathered embedding matrix)
+                    gdict = {
+                        k: jax.device_put(
+                            v, shard_s if k in ("clouds", "point_mask") else repl_s)
+                        for k, v in gdict.items()
+                    }
+                    ldict = {k: jax.device_put(v, shard_s)
+                             for k, v in ldict.items()}
                 state, stats = step_fn(
                     state, gdict, ldict, step_rng, jnp.float32(lr),
                     train=phase == "train",
@@ -344,7 +393,7 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                     test_evaluator = GLEvaluator(
                         params.dataset_folder, dataset_type,
                         params.test_file, built, num_points=num_points,
-                        k=20, n_samples=100, n_k=(128,))
+                        k=20, n_samples=100, n_k=(128,), mesh=mesh)
                 ev = test_evaluator
                 gm, lm = ev.evaluate(
                     {"params": state.params, "batch_stats": state.batch_stats})

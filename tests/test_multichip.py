@@ -94,3 +94,85 @@ def test_sharded_train_step_matches_single_device():
     diffs = jax.tree.map(lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
                          s1.params, jax.tree.map(np.asarray, s2.params))
     assert max(jax.tree.leaves(diffs)) < 5e-3
+
+
+def test_do_train_on_mesh_smoke(tmp_path):
+    """Full do_train drives the 8-device mesh end-to-end: synthetic dataset,
+    sharded global/local batches, replicated state, mesh-rounded buckets,
+    checkpoint save — the VERDICT r2 'wire the mesh into do_train' contract."""
+    from egonn_tpu.config import TrainingParams
+    from egonn_tpu.data.synthetic import generate_synthetic_dataset
+    from egonn_tpu.train.trainer import do_train
+
+    root = str(tmp_path / "synth")
+    train_p, val_p, _ = generate_synthetic_dataset(
+        root, n_scans=48, extent=60.0, scan_radius=40.0, max_points=4096, seed=0)
+
+    params = TrainingParams("config/config_egonn.txt", "model_configs/egonn.txt",
+                            require_dataset=False)
+    params.dataset_folder = root
+    params.train_file = train_p
+    params.val_file = val_p
+    params.test_file = None
+    params.epochs = 1
+    params.batch_size = 8
+    params.batch_size_limit = 8
+    params.batch_expansion_rate = None
+    params.batch_expansion_th = None
+    params.local_batch_size = 8
+    params.mesh = "auto"  # 8 CPU devices from conftest
+    params.model_params.cap0 = 256
+    params.model_params.num_points = 512
+    params.model_params.num_points_explicit = True
+
+    logged = []
+    state, all_stats, _ = do_train(
+        params, debug=True, weights_path=str(tmp_path / "w"),
+        log_fn=logged.append, dataset_type="synthetic")
+
+    assert all_stats["train"], "train epoch produced no steps"
+    es = all_stats["train"][-1]
+    assert np.isfinite(es["loss"]) and np.isfinite(es["local_loss"])
+    assert all_stats["val"], "val epoch produced no steps"
+    assert np.isfinite(all_stats["val"][-1]["loss"])
+    # state came back replicated across the mesh
+    leaf = jax.tree.leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_evaluator_sharded_embeddings(tmp_path):
+    """Evaluator.compute_embeddings shards its batches across the mesh and
+    matches the single-device embeddings."""
+    from egonn_tpu.config import TrainingParams
+    from egonn_tpu.data.synthetic import generate_synthetic_dataset
+    from egonn_tpu.eval.evaluator import Evaluator
+    from egonn_tpu.models.factory import model_factory
+    from egonn_tpu.sparse.pyramid import build_pyramid
+
+    root = str(tmp_path / "synth")
+    _, _, eval_p = generate_synthetic_dataset(
+        root, n_scans=24, extent=60.0, scan_radius=40.0, max_points=4096, seed=0)
+
+    params = TrainingParams("config/config_egonn.txt", "model_configs/egonn.txt",
+                            require_dataset=False)
+    params.model_params.cap0 = 256
+    built = model_factory(params.model_params, cap0=256)
+    n = 512
+    q, spec, model = built.quantizer, built.pyramid_spec, built.model
+    c2 = jnp.asarray(_clouds(2, n, 0))
+    res = jax.vmap(lambda pc, mm: q.quantize(pc, mm, spec.capacities[0], need_index=False))(
+        c2, jnp.ones((2, n), bool))
+    pyr = jax.jit(lambda r: build_pyramid(r.coords_t, r.mask, spec, keys0=r.keys))(res)
+    variables = jax.jit(lambda k, p: model.init(k, p, q, train=False))(
+        jax.random.PRNGKey(0), pyr)
+
+    ev1 = Evaluator(root, "synthetic", eval_p, built, num_points=n, batch_size=8)
+    e1 = ev1.compute_embeddings(variables, ev1.eval_set.map_set)
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    variables_r = jax.tree.map(lambda x: jax.device_put(x, repl), variables)
+    ev2 = Evaluator(root, "synthetic", eval_p, built, num_points=n, batch_size=8,
+                    mesh=mesh)
+    e2 = ev2.compute_embeddings(variables_r, ev2.eval_set.map_set)
+    np.testing.assert_allclose(e1["global"], e2["global"], rtol=2e-4, atol=2e-5)
