@@ -235,12 +235,14 @@ class GLEvaluator(Evaluator):
     """Global + local (6DoF) evaluator (reference MinkLocGLEvaluator)."""
 
     def __init__(self, *args, n_k=(128, 256), repeat_dist_th: float = 0.5,
-                 icp_refine: bool = False, n_hypotheses: int = 1024,
+                 icp_refine: bool = False, icp_point2plane: bool = False,
+                 n_hypotheses: int = 1024,
                  rte_th: float = 2.0, rre_th: float = 5.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_k = list(n_k)
         self.repeat_dist_th = repeat_dist_th
         self.icp_refine = icp_refine
+        self.icp_point2plane = icp_point2plane
         self.n_hypotheses = n_hypotheses
         self.rte_th = rte_th
         self.rre_th = rre_th
@@ -382,13 +384,13 @@ class GLEvaluator(Evaluator):
     def _icp_refine_gt(self, q, m, t_gt):
         import os
 
-        from egonn_tpu.ops.icp import icp_point_to_point
+        from egonn_tpu.ops.icp import icp
 
         pc1 = self.pc_loader(os.path.join(
             self.dataset_root, self.eval_set.query_set[q].rel_scan_filepath))
         pc2 = self.pc_loader(os.path.join(
             self.dataset_root, self.eval_set.map_set[m].rel_scan_filepath))
-        return icp_point_to_point(pc1, pc2, t_gt)
+        return icp(pc1, pc2, t_gt, point2plane=self.icp_point2plane)
 
     def print_results(self, global_metrics, local_metrics):
         for r, rec in global_metrics["recall"].items():

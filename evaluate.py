@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--radius", nargs="+", type=float, default=[5, 20])
     parser.add_argument("--n_k", nargs="+", type=int, default=[128, 256])
     parser.add_argument("--icp_refine", action="store_true")
+    parser.add_argument("--icp_point2plane", action="store_true",
+                        help="Use point-to-plane ICP for the GT refinement "
+                             "(reference misc/point_clouds.py:52-60)")
     parser.add_argument("--ransac_hypotheses", type=int, default=1024,
                         help="Parallel RANSAC hypotheses; 10240 matches the "
                              "reference's 10k-iteration Open3D budget "
@@ -101,7 +104,8 @@ def main():
         ev = GLEvaluator(args.dataset_root, args.dataset_type, args.eval_set_pickle,
                          built, num_points=model_params.num_points,
                          radius=args.radius, n_k=args.n_k,
-                         icp_refine=args.icp_refine, debug=args.debug,
+                         icp_refine=args.icp_refine,
+                         icp_point2plane=args.icp_point2plane, debug=args.debug,
                          n_hypotheses=args.ransac_hypotheses)
         global_metrics, local_metrics = ev.evaluate(variables)
         ev.print_results(global_metrics, local_metrics)
