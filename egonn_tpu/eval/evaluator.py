@@ -128,9 +128,15 @@ class Evaluator:
                         for k, v in jax.device_get(check(clouds, mask)).items()}
         bad = [k for k, v in self.band_ok.items() if not v]
         if bad:
-            print(f"WARNING: band overflow at eval (neighbors dropped) in {bad}"
-                  " — recall may degrade; use EGONN_BANDED_FALLBACK=1 or wider"
-                  " sub-windows (sparse/banded.py)")
+            from egonn_tpu.sparse.banded import FALLBACK
+            if FALLBACK:
+                print(f"note: band overflow at eval in {bad} — exact lax.cond"
+                      " fallback engaged (no drops)")
+            else:
+                print(f"WARNING: band overflow at eval (neighbors dropped) in"
+                      f" {bad} — recall may degrade; use"
+                      " EGONN_BANDED_FALLBACK=1 or wider sub-windows"
+                      " (sparse/banded.py)")
 
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):

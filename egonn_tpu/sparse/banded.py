@@ -97,7 +97,32 @@ def conv_sub_width(c_in: int, c_out: int, sub: int = DEFAULT_SUB) -> int:
     return min(sub, c_in)  # small tables: the sub-window IS the table
 
 
-def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
+def conv_band_params(c_in: int, c_out: int, f_in: int, sub: int = DEFAULT_SUB
+                     ) -> tuple:
+    """(pack, sub) actually compiled by the banded conv for this map + channel
+    shape.
+
+    Narrow-channel levels (f_in 32/64) CHANNEL-PACK the feature table:
+    pack = 128/f_in voxel rows share one 128-lane table row, so the gather
+    one-hot matmul contracts over `sub` PACKED rows — pack x fewer MXU cycles
+    and pack x less VPU one-hot build for the same coverage.  (The conv kernel
+    is MXU-bound on the gather contraction: measured 278 ns/offset at the
+    unpacked down-conv width 1024 == its 4-MXU v5e roofline.)
+
+    The packed width is sized so a fit under the UNPACKED audit width implies
+    a packed fit — hi//p - align16(lo//p) <= (hi-lo)/p + 16 < (sub_u-1)/p + 17
+    — so band_fit_report's unpacked audit remains a sound (conservative)
+    health check and packing introduces NO new overflow risk."""
+    sub_u = conv_sub_width(c_in, c_out, sub)
+    pack = 128 // f_in if f_in in (32, 64) else 1
+    if pack == 1 or c_in % (pack * 16) != 0:
+        return 1, sub_u
+    sub_p = -(-((sub_u - 1) // pack + 17) // 16) * 16
+    return pack, min(sub_p, c_in // pack)
+
+
+def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
+                      pack: int = 1):
     """Band layout for the VMEM-resident conv kernel: per (batch, offset, tile)
     a 16-aligned absolute sub-window start into the feature table (bf16
     sublane granularity — the Pallas kernel asserts pl.multiple_of(start, 16)),
@@ -109,22 +134,31 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
     Returns (starts (B, T, K) int32 multiples of 16, rel (B, T, K, tile) int32
     in [0, sub] with sub marking invalid, ok () bool — True iff every band
     fits; callers lax.cond to the plain gather path otherwise).
+
+    With pack > 1 (channel-packed tables, conv_band_params), `sub` and
+    `starts` are in PACKED table rows (pack voxels per row), while `rel` stays
+    in UNPACKED voxel units relative to start*pack (invalid marker sub*pack):
+    the kernel derives the packed row as rel >> log2(pack) and the lane group
+    as rel & (pack-1).
     """
     b, k, c_out = kmap.shape
     assert c_out % tile == 0, (c_out, tile)
     t = c_out // tile
     km = kmap.reshape(b, k, t, tile)
     valid = km < c_in
+    kmp = km // pack if pack > 1 else km
     big = jnp.int32(2**30)
-    lo_k = jnp.min(jnp.where(valid, km, big), axis=-1)      # (B, K, T)
-    hi_k = jnp.max(jnp.where(valid, km, -1), axis=-1)       # (B, K, T)
+    lo_k = jnp.min(jnp.where(valid, kmp, big), axis=-1)     # (B, K, T)
+    hi_k = jnp.max(jnp.where(valid, kmp, -1), axis=-1)      # (B, K, T)
     any_k = jnp.any(valid, axis=-1)
     # per-offset ABSOLUTE sub-window start, 16-aligned (bf16 sublane
-    # granularity), within [0, c_in - sub]
-    start = jnp.clip((jnp.where(any_k, lo_k, 0) // 16) * 16, 0, max(c_in - sub, 0))
+    # granularity), within [0, c_rows - sub]
+    c_rows = c_in // pack
+    start = jnp.clip((jnp.where(any_k, lo_k, 0) // 16) * 16,
+                     0, max(c_rows - sub, 0))
     fits_sub = ~any_k | (hi_k - start < sub)
     ok = jnp.all(fits_sub)
-    rel = jnp.where(valid, km - start[..., None], sub)
+    rel = jnp.where(valid, km - start[..., None] * pack, sub * pack)
     rel = jnp.transpose(rel, (0, 2, 1, 3)).reshape(b, t, k, tile).astype(jnp.int32)
     starts = jnp.transpose(start, (0, 2, 1)).astype(jnp.int32)  # (B, T, K)
     return starts, rel, ok
@@ -132,21 +166,31 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
 
 def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         rel: jnp.ndarray, kernel: jnp.ndarray,
-                        sub: int, tile: int, interpret: bool = False
-                        ) -> jnp.ndarray:
+                        sub: int, tile: int, pack: int = 1,
+                        interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel: grid over (B, T); the whole per-cloud feature table rides
     as a VMEM input block (every EgoNN level table is <= 5 MB — no manual DMA,
     Mosaic pipelines the block fetch), and each offset's gather is an
-    in-register one-hot matmul over an (8-aligned) sub-window slice of it.
+    in-register one-hot matmul over a (16-aligned) sub-window slice of it.
 
     The one-hot (tile, sub) never touches HBM — built from an iota compare and
     fed straight to the MXU, which is what makes this faster than both the XLA
     row-gather (issue-bound ~7 ns/row) and an XLA one-hot formulation (which
     materializes GBs of one-hot traffic).
 
-    feats (B, C_in, 128) bf16; starts (B, T, K) int32 (multiples of 16);
-    rel (B, T, K, tile) int32 in [0, sub]; kernel (K, 128, F_out).
+    feats (B, C_rows, 128) bf16; starts (B, T, K) int32 (multiples of 16);
+    rel (B, T, K, tile) int32 in [0, sub*pack]; kernel (K, 128, F_out).
     Returns (B, T, tile, F_out) f32.
+
+    pack > 1 (channel packing, conv_band_params): each 128-lane table row
+    holds `pack` voxels of 128/pack channels.  The one-hot picks the PACKED
+    row (rel >> log2(pack)) — pack x less MXU contraction and VPU one-hot
+    build — and the neighbor's lane group (rel & (pack-1)) is rotated down to
+    lanes [0, 128/pack) by a select over statically rotated copies; sibling
+    lanes carry other voxels' features, which the weight matmul zeroes (kernel
+    rows >= f_in are zero-padded).  Bit-identical to unpacked: the lane
+    rotation is exact and both weight contractions are 128-deep with the same
+    nonzero partial products.
 
     Toolchain notes (bisected on this Mosaic build): DMA into a scratch with
     lane dim < 128 crashes the remote compiler, as does any bf16 DMA — avoided
@@ -158,11 +202,14 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     b, t, k_vol, _ = rel.shape
-    c_in = feats.shape[1]
+    c_rows = feats.shape[1]
     f_out = kernel.shape[-1]
     assert feats.shape[-1] == 128 and kernel.shape[1] == 128
     assert feats.dtype == jnp.bfloat16  # halves the VMEM block (the level-0
     # table is 8 MB in f32 — over the 16 MB scoped-vmem budget with headroom)
+    assert pack in (1, 2, 4) and tile % 1 == 0
+    shift = pack.bit_length() - 1
+    lanes = 128 // pack
 
     def body(starts_ref, rel_ref, feats_ref, kern_ref, out_ref):
         ti = pl.program_id(1)
@@ -177,11 +224,22 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
             dk = pl.multiple_of(starts_ref[0, ti, k], 16)
             sub_w = feats_ref[0, pl.ds(dk, sub), :]
             rel_k = rel_ref[0, 0, k, :]
-            oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
+            prow = jax.lax.shift_right_logical(rel_k, shift) if pack > 1 \
+                else rel_k
+            oh = (prow[:, None] == iota).astype(jnp.bfloat16)
             g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                         precision=prec)
-            return acc + jnp.dot(g.astype(jnp.bfloat16),
-                                 kern_ref[k].astype(jnp.bfloat16),
+            gb = g.astype(jnp.bfloat16)
+            if pack > 1:
+                # rotate the neighbor's lane group down to lanes [0, lanes)
+                sg = (rel_k & (pack - 1))[:, None]
+                aligned = gb
+                for j in range(1, pack):
+                    rolled = jnp.concatenate(
+                        [gb[:, j * lanes:], gb[:, :j * lanes]], axis=1)
+                    aligned = jnp.where(sg == j, rolled, aligned)
+                gb = aligned
+            return acc + jnp.dot(gb, kern_ref[k].astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
 
@@ -204,7 +262,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_in, 128), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, c_rows, 128), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),  # whole per-cloud table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel weights
         ],
@@ -230,18 +288,23 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
     f_out = kernel.shape[-1]
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return _plain_gather_conv(feats, kmap, kernel)
-    sub = conv_sub_width(c_in, c_out, sub)
+    pack, sub = conv_band_params(c_in, c_out, f_in, sub)
     t = c_out // tile
-    starts, rel, ok = band_layout_union(kmap, c_in, sub, tile)
+    starts, rel, ok = band_layout_union(kmap, c_in, sub, tile, pack=pack)
     f_pad = 128 - f_in
-    feats_p = feats.astype(jnp.bfloat16)
-    if f_pad:
-        feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
+    if pack > 1:
+        # channel-packed table: pack voxel rows per 128-lane row (a row-major
+        # reshape — no zero lanes, pack x smaller VMEM block)
+        feats_p = feats.astype(jnp.bfloat16).reshape(b, c_in // pack, 128)
+    else:
+        feats_p = feats.astype(jnp.bfloat16)
+        if f_pad:
+            feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
     kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
 
     def fast():
         out = _pallas_banded_conv(feats_p, starts, rel, kernel_p, sub, tile,
-                                  interpret=interpret)
+                                  pack=pack, interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
     if not FALLBACK:

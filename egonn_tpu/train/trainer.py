@@ -378,9 +378,15 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                     rep = band_fit_report(pyr_chk, built.pyramid_spec)
                     bad = [k for k, v in rep.items() if not v]
                     if bad:
-                        print(f"WARNING: band overflow (neighbors dropped) in "
-                              f"{bad} — consider EGONN_BANDED_FALLBACK=1 or "
-                              "wider sub-windows")
+                        from egonn_tpu.sparse.banded import FALLBACK
+                        if FALLBACK:
+                            print(f"note: band overflow in {bad} — exact "
+                                  "lax.cond fallback engaged (no drops)")
+                        else:
+                            print(f"WARNING: band overflow (neighbors "
+                                  f"dropped) in {bad} — consider "
+                                  "EGONN_BANDED_FALLBACK=1 or wider "
+                                  "sub-windows")
             except Exception as e:
                 print(f"WARNING: band-fit check failed: {e}")
 

@@ -68,6 +68,53 @@ def test_banded_matches_plain_on_real_bands(rng):
     assert err / scale < 3e-2, err / scale
 
 
+@pytest.mark.parametrize("f_in", [32, 64])
+def test_banded_packed_matches_plain(rng, f_in):
+    """Channel-packed kernels (f_in 32 -> pack 4, 64 -> pack 2) reproduce the
+    gather conv bit-for-bit at bf16 numerics, on a real self map AND a real
+    down-style map (c_in > c_out)."""
+    from egonn_tpu.sparse.banded import conv_band_params
+
+    pyr = _real_pyramid(rng)
+    for lvl_in, kmap in [(pyr[1], pyr[1].kmap_self), (pyr[1], pyr[2].kmap_down)]:
+        c_in = lvl_in.coords.shape[-1]
+        k = kmap.shape[1]
+        pack, sub = conv_band_params(c_in, kmap.shape[-1], f_in)
+        assert pack == 128 // f_in, (pack, f_in)
+        feats = jnp.asarray(
+            (rng.standard_normal((2, c_in, f_in))
+             * np.asarray(lvl_in.mask)[..., None]).astype(np.float32)
+        )
+        kernel = jnp.asarray(
+            rng.standard_normal((k, f_in, f_in)).astype(np.float32) * 0.2)
+        got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
+        want = _plain_bf16(feats, kmap, kernel)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(want))) + 1e-9
+        assert err / scale < 3e-2, (err / scale, kmap.shape)
+
+
+def test_packed_layout_rel_encoding(rng):
+    """band_layout_union(pack>1): starts are 16-aligned packed rows and rel
+    decodes to (packed row, lane group) = (km // pack - start, km % pack)."""
+    from egonn_tpu.sparse.banded import band_layout_union
+
+    pack, sub, tile = 4, 80, 128
+    c_in = 1024
+    base = rng.integers(0, c_in - sub * pack, size=(1, 3, 2))
+    kmap = (base[..., None] + rng.integers(0, sub * pack - 64, size=(1, 3, 2, tile))
+            ).reshape(1, 3, 2 * tile).astype(np.int32)
+    starts, rel, ok = band_layout_union(jnp.asarray(kmap), c_in, sub, tile,
+                                        pack=pack)
+    assert bool(ok)
+    s = np.asarray(starts)
+    r = np.asarray(rel)
+    assert np.all(s % 16 == 0)
+    km = kmap.reshape(1, 3, 2, tile).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(km // pack - s[..., None], r >> 2)
+    np.testing.assert_array_equal(km % pack, r & 3)
+
+
 def test_banded_fallback_on_scattered_kmap(rng, monkeypatch):
     """A random (non-banded) kmap must trip the ok flag, and with the lax.cond
     fallback enabled (EGONN_BANDED_FALLBACK semantics) produce EXACTLY the

@@ -73,19 +73,25 @@ def test_kernel_maps_bit_identical(real_pyramid_pair):
             err_msg=f"up map L{l - 1}")
 
 
-def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair):
+@pytest.mark.parametrize("f,style", [(64, "self"), (32, "self"), (128, "self"),
+                                     (32, "down"), (64, "down")])
+def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style):
+    """Covers every production channel-pack factor (f=32 -> pack 4,
+    f=64 -> pack 2, f=128 -> unpacked) on self AND down-style maps."""
     from egonn_tpu.sparse.banded import _plain_gather_conv, banded_conv_pallas
 
     p_banded, _, _ = real_pyramid_pair
     rng = np.random.default_rng(1)
-    lvl = p_banded[2]
-    kmap = lvl.kmap_self
-    c = kmap.shape[-1]
-    f = 64
+    if style == "self":
+        lvl_in, kmap = p_banded[2], p_banded[2].kmap_self
+    else:
+        lvl_in, kmap = p_banded[2], p_banded[3].kmap_down
+    c = lvl_in.coords.shape[-1]
     feats = jnp.asarray(
         (rng.standard_normal((kmap.shape[0], c, f))
-         * np.asarray(lvl.mask)[..., None]).astype(np.float32))
-    kernel = jnp.asarray(rng.standard_normal((27, f, f)).astype(np.float32) * 0.1)
+         * np.asarray(lvl_in.mask)[..., None]).astype(np.float32))
+    k = kmap.shape[1]
+    kernel = jnp.asarray(rng.standard_normal((k, f, f)).astype(np.float32) * 0.1)
     got = jax.jit(lambda x: banded_conv_pallas(x, kmap, kernel))(feats)
     # the gather path at default TPU precision also quantizes to bf16, so the
     # two engines agree to float equality up to accumulation order
