@@ -48,6 +48,12 @@ import jax.numpy as jnp
 # tests/test_banded_tpu.py), EGONN_BANDED_FALLBACK=1 restores the lax.cond
 # wrappers, and EGONN_BANDED=0 selects the exact gather engine outright.
 FALLBACK = os.environ.get("EGONN_BANDED_FALLBACK", "0") == "1"
+# channel-pack narrow-channel conv tables (conv_band_params).  Off by default:
+# e2e bench measured 207 vs 296 clouds/s with packing on — the per-offset lane
+# rotation (pack-1 rolled copies + selects on (tile, 128) bf16) costs more VPU
+# than the smaller one-hot build saves.  Kept behind a flag for narrow-channel
+# workloads where the gather contraction dominates (e.g. wide tables, K=27+).
+PACK_ENABLED = os.environ.get("EGONN_CONV_PACK", "0") == "1"
 
 DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
@@ -114,7 +120,7 @@ def conv_band_params(c_in: int, c_out: int, f_in: int, sub: int = DEFAULT_SUB
     — so band_fit_report's unpacked audit remains a sound (conservative)
     health check and packing introduces NO new overflow risk."""
     sub_u = conv_sub_width(c_in, c_out, sub)
-    pack = 128 // f_in if f_in in (32, 64) else 1
+    pack = 128 // f_in if f_in in (32, 64) and PACK_ENABLED else 1
     if pack == 1 or c_in % (pack * 16) != 0:
         return 1, sub_u
     sub_p = -(-((sub_u - 1) // pack + 17) // 16) * 16

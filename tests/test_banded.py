@@ -69,12 +69,16 @@ def test_banded_matches_plain_on_real_bands(rng):
 
 
 @pytest.mark.parametrize("f_in", [32, 64])
-def test_banded_packed_matches_plain(rng, f_in):
+def test_banded_packed_matches_plain(rng, f_in, monkeypatch):
     """Channel-packed kernels (f_in 32 -> pack 4, 64 -> pack 2) reproduce the
     gather conv bit-for-bit at bf16 numerics, on a real self map AND a real
-    down-style map (c_in > c_out)."""
+    down-style map (c_in > c_out).  Packing is opt-in (EGONN_CONV_PACK=1 —
+    e2e-slower on the EgoNN workload, see banded.PACK_ENABLED), so enable it
+    explicitly here to keep the path covered."""
+    import egonn_tpu.sparse.banded as banded_mod
     from egonn_tpu.sparse.banded import conv_band_params
 
+    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
     pyr = _real_pyramid(rng)
     for lvl_in, kmap in [(pyr[1], pyr[1].kmap_self), (pyr[1], pyr[2].kmap_down)]:
         c_in = lvl_in.coords.shape[-1]

@@ -75,11 +75,16 @@ def test_kernel_maps_bit_identical(real_pyramid_pair):
 
 @pytest.mark.parametrize("f,style", [(64, "self"), (32, "self"), (128, "self"),
                                      (32, "down"), (64, "down")])
-def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style):
-    """Covers every production channel-pack factor (f=32 -> pack 4,
-    f=64 -> pack 2, f=128 -> unpacked) on self AND down-style maps."""
+def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style,
+                                            monkeypatch):
+    """Covers every channel-pack factor (f=32 -> pack 4, f=64 -> pack 2,
+    f=128 -> unpacked) on self AND down-style maps.  Packing is opt-in
+    (EGONN_CONV_PACK — banded.PACK_ENABLED), forced on here so the on-chip
+    tier keeps validating the packed kernel path."""
+    import egonn_tpu.sparse.banded as banded_mod
     from egonn_tpu.sparse.banded import _plain_gather_conv, banded_conv_pallas
 
+    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
     p_banded, _, _ = real_pyramid_pair
     rng = np.random.default_rng(1)
     if style == "self":
