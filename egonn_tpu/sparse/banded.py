@@ -139,7 +139,16 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
 
     Returns (starts (B, T, K) int32 multiples of 16, rel (B, T, K, tile) int32
     in [0, sub] with sub marking invalid, ok () bool — True iff every band
-    fits; callers lax.cond to the plain gather path otherwise).
+    fits; callers lax.cond to the plain gather path otherwise, active (B, T)
+    int32 — 0 for tiles whose gathers are ALL sentinel).
+
+    `active` drives the kernel's whole-tile skip: voxels are sorted with
+    MAXKEY padding last, so capacity slack beyond a cloud's occupancy forms a
+    contiguous tail of all-sentinel tiles (measured 59-99% of rows at EgoNN
+    levels 3-7 on LiDAR-scale clouds); the kernel writes zeros for those tiles
+    without running the K-offset loop.  Exactness is unconditional — an
+    all-sentinel tile's one-hots match nothing, so its output is zero either
+    way.
 
     With pack > 1 (channel-packed tables, conv_band_params), `sub` and
     `starts` are in PACKED table rows (pack voxels per row), while `rel` stays
@@ -167,12 +176,14 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
     rel = jnp.where(valid, km - start[..., None] * pack, sub * pack)
     rel = jnp.transpose(rel, (0, 2, 1, 3)).reshape(b, t, k, tile).astype(jnp.int32)
     starts = jnp.transpose(start, (0, 2, 1)).astype(jnp.int32)  # (B, T, K)
-    return starts, rel, ok
+    active = jnp.any(any_k, axis=1).astype(jnp.int32)           # (B, T)
+    return starts, rel, ok, active
 
 
 def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         rel: jnp.ndarray, kernel: jnp.ndarray,
                         sub: int, tile: int, pack: int = 1,
+                        active: jnp.ndarray | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel: grid over (B, T); the whole per-cloud feature table rides
     as a VMEM input block (every EgoNN level table is <= 5 MB — no manual DMA,
@@ -216,45 +227,57 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     assert pack in (1, 2, 4) and tile % 1 == 0
     shift = pack.bit_length() - 1
     lanes = 128 // pack
+    if active is None:
+        active = jnp.ones((b, t), jnp.int32)
 
-    def body(starts_ref, rel_ref, feats_ref, kern_ref, out_ref):
+    def body(starts_ref, act_ref, rel_ref, feats_ref, kern_ref, out_ref):
         ti = pl.program_id(1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
-        # precision pinned to DEFAULT: a global jax_default_matmul_precision
-        # of "highest" (e.g. the test conftest) would request an fp32 contract
-        # on bf16 operands, which this Mosaic build rejects
-        prec = jax.lax.Precision.DEFAULT
+        # whole-tile skip: capacity slack past a cloud's occupancy is a
+        # contiguous tail of all-sentinel tiles (59-99% of rows at deep EgoNN
+        # levels) whose output is zero by construction — write it directly
+        @pl.when(act_ref[0, 0, ti] == 0)
+        def _skip():
+            out_ref[0, 0] = jnp.zeros((tile, f_out), jnp.float32)
 
-        def k_step(k, acc):
-            dk = pl.multiple_of(starts_ref[0, ti, k], 16)
-            sub_w = feats_ref[0, pl.ds(dk, sub), :]
-            rel_k = rel_ref[0, 0, k, :]
-            prow = jax.lax.shift_right_logical(rel_k, shift) if pack > 1 \
-                else rel_k
-            oh = (prow[:, None] == iota).astype(jnp.bfloat16)
-            g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
-                        precision=prec)
-            gb = g.astype(jnp.bfloat16)
-            if pack > 1:
-                # rotate the neighbor's lane group down to lanes [0, lanes)
-                sg = (rel_k & (pack - 1))[:, None]
-                aligned = gb
-                for j in range(1, pack):
-                    rolled = jnp.concatenate(
-                        [gb[:, j * lanes:], gb[:, :j * lanes]], axis=1)
-                    aligned = jnp.where(sg == j, rolled, aligned)
-                gb = aligned
-            return acc + jnp.dot(gb, kern_ref[k].astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _compute():
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
-        # statically unrolled over offsets: lax.fori_loop's per-iteration
-        # overhead measured ~2x the whole kernel (L1 7.7 -> 3.3 ms unrolled)
-        acc = jnp.zeros((tile, f_out), jnp.float32)
-        for k in range(k_vol):
-            acc = k_step(k, acc)
-        out_ref[0, 0] = acc
+            # precision pinned to DEFAULT: a global jax_default_matmul_precision
+            # of "highest" (e.g. the test conftest) would request an fp32
+            # contract on bf16 operands, which this Mosaic build rejects
+            prec = jax.lax.Precision.DEFAULT
+
+            def k_step(k, acc):
+                dk = pl.multiple_of(starts_ref[0, ti, k], 16)
+                sub_w = feats_ref[0, pl.ds(dk, sub), :]
+                rel_k = rel_ref[0, 0, k, :]
+                prow = jax.lax.shift_right_logical(rel_k, shift) if pack > 1 \
+                    else rel_k
+                oh = (prow[:, None] == iota).astype(jnp.bfloat16)
+                g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
+                            precision=prec)
+                gb = g.astype(jnp.bfloat16)
+                if pack > 1:
+                    # rotate the neighbor's lane group down to lanes [0, lanes)
+                    sg = (rel_k & (pack - 1))[:, None]
+                    aligned = gb
+                    for j in range(1, pack):
+                        rolled = jnp.concatenate(
+                            [gb[:, j * lanes:], gb[:, :j * lanes]], axis=1)
+                        aligned = jnp.where(sg == j, rolled, aligned)
+                    gb = aligned
+                return acc + jnp.dot(gb, kern_ref[k].astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+
+            # statically unrolled over offsets: lax.fori_loop's per-iteration
+            # overhead measured ~2x the whole kernel (L1 7.7 -> 3.3 ms unrolled)
+            acc = jnp.zeros((tile, f_out), jnp.float32)
+            for k in range(k_vol):
+                acc = k_step(k, acc)
+            out_ref[0, 0] = acc
 
     # Per-CLOUD scalars ride as an SMEM INPUT BLOCK (fetched once per cloud,
     # ~8 KB), not scalar-prefetch: a prefetched array is whole-batch resident
@@ -266,6 +289,8 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-tile active flags
             pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_rows, 128), lambda bi, ti: (bi, 0, 0),
@@ -276,7 +301,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
         interpret=interpret,
-    )(starts, rel, feats, kernel)
+    )(starts, active[:, None, :], rel, feats, kernel)
 
 
 def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
@@ -296,7 +321,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
         return _plain_gather_conv(feats, kmap, kernel)
     pack, sub = conv_band_params(c_in, c_out, f_in, sub)
     t = c_out // tile
-    starts, rel, ok = band_layout_union(kmap, c_in, sub, tile, pack=pack)
+    starts, rel, ok, active = band_layout_union(kmap, c_in, sub, tile, pack=pack)
     f_pad = 128 - f_in
     if pack > 1:
         # channel-packed table: pack voxel rows per 128-lane row (a row-major
@@ -310,7 +335,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
 
     def fast():
         out = _pallas_banded_conv(feats_p, starts, rel, kernel_p, sub, tile,
-                                  pack=pack, interpret=interpret)
+                                  pack=pack, active=active, interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
     if not FALLBACK:
@@ -325,6 +350,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
 def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
                           win_table: jnp.ndarray, c_in: int,
                           sub: int, tile: int, stride: int = 128,
+                          active: jnp.ndarray | None = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Positions of query keys in a sorted table, banded: grid over (B, T);
     per offset k, ONE precomputed window row of the table is compared against
@@ -340,27 +366,38 @@ def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
 
     b, t, k_vol, tile_ = queries_t.shape
     maxkey = 2**31 - 1  # python literal: a traced scalar would be a captured const
+    if active is None:
+        active = jnp.ones((b, t), jnp.int32)
 
-    def body(rows_ref, q_ref, win_ref, out_ref):
+    def body(rows_ref, act_ref, q_ref, win_ref, out_ref):
         ti = pl.program_id(1)
 
-        def k_step(k, _):
-            row_k = rows_ref[0, ti, k]
-            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
-            q = q_ref[0, 0, k, :]                          # (tile,)
-            eq = q[:, None] == win_row                     # (tile, sub)
-            # keys are unique: at most one match, so ONE masked iota-sum gives
-            # both presence (s == 0 means absent) and position (s - 1).
-            # (Mosaic's argmax lowering is f32-only; this is also one fewer
-            # reduce pass than any() + argmax.)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (tile_, sub), 1)
-            s = jnp.sum(jnp.where(eq, jj + 1, 0), axis=1)
-            found = (s > 0) & (q != maxkey)
-            out_ref[0, 0, k, :] = jnp.where(found, row_k * stride + s - 1, c_in)
-            return 0
+        # whole-tile skip (see _pallas_banded_conv): all-MAXKEY tiles resolve
+        # to the sentinel without running the K compare passes
+        @pl.when(act_ref[0, 0, ti] == 0)
+        def _skip():
+            out_ref[0, 0] = jnp.full((k_vol, tile_), c_in, jnp.int32)
 
-        for k in range(k_vol):  # statically unrolled (see conv kernel note)
-            k_step(k, 0)
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _compute():
+            def k_step(k, _):
+                row_k = rows_ref[0, ti, k]
+                win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+                q = q_ref[0, 0, k, :]                          # (tile,)
+                eq = q[:, None] == win_row                     # (tile, sub)
+                # keys are unique: at most one match, so ONE masked iota-sum
+                # gives both presence (s == 0 means absent) and position
+                # (s - 1).  (Mosaic's argmax lowering is f32-only; this is
+                # also one fewer reduce pass than any() + argmax.)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (tile_, sub), 1)
+                s = jnp.sum(jnp.where(eq, jj + 1, 0), axis=1)
+                found = (s > 0) & (q != maxkey)
+                out_ref[0, 0, k, :] = jnp.where(found, row_k * stride + s - 1,
+                                                c_in)
+                return 0
+
+            for k in range(k_vol):  # statically unrolled (conv kernel note)
+                k_step(k, 0)
 
     return pl.pallas_call(
         body,
@@ -368,6 +405,8 @@ def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-tile active flags
             pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
@@ -377,7 +416,7 @@ def _pallas_banded_lookup(queries_t: jnp.ndarray, rows: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, k_vol, tile), jnp.int32),
         interpret=interpret,
-    )(rows, queries_t, win_table)
+    )(rows, active[:, None, :], queries_t, win_table)
 
 
 def make_window_table(sorted_keys: jnp.ndarray, sub: int,
@@ -445,10 +484,11 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
     rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))                   # (B, T, K, tile)
     win_table = make_window_table(sorted_keys, sub, stride)
+    active = jnp.any(any_valid, axis=1).astype(jnp.int32)   # (B, T)
 
     def fast():
         pos = _pallas_banded_lookup(q_t, rows, win_table, c_in, sub, tile,
-                                    stride, interpret=interpret)
+                                    stride, active=active, interpret=interpret)
         return jnp.transpose(pos, (0, 2, 1, 3)).reshape(b, k_vol, c_out)
 
     def slow():
@@ -470,6 +510,7 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
 def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                           win_table: jnp.ndarray, kz: int,
                           sub: int, tile: int, stride: int = 128,
+                          active: jnp.ndarray | None = None,
                           interpret: bool = False) -> jnp.ndarray:
     """Presence bitmasks of kz CONSECUTIVE keys per query, banded.
 
@@ -492,38 +533,49 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
     b, t, kxy, tile_ = q_lo_t.shape
     assert kz <= 8  # bits fit comfortably; val & 7 below assumes this
+    if active is None:
+        active = jnp.ones((b, t), jnp.int32)
 
-    def body(rows_ref, q_ref, win_ref, out_ref):
+    def body(rows_ref, act_ref, q_ref, win_ref, out_ref):
         ti = pl.program_id(1)
 
-        ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
-        # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
+        # whole-tile skip (see _pallas_banded_conv): all-MAXKEY tiles have no
+        # present neighbors by definition
+        @pl.when(act_ref[0, 0, ti] == 0)
+        def _skip():
+            out_ref[0, 0] = jnp.zeros((kxy, tile_), jnp.int32)
 
-        def k_step(k, _):
-            row_k = rows_ref[0, ti, k]
-            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
-            q = q_ref[0, 0, k, :]                          # (tile,)
-            val = win_row - q[:, None]                     # (tile, sub)
-            # unsigned compare: uint32(val) < kz == (0 <= val < kz) in one op;
-            # q == MAXKEY (invalid) would "match" the table's MAXKEY padding
-            # (val == 0) — mask it out
-            hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
-            # lane reduction on the MXU (27% faster than a VPU jnp.sum here —
-            # the VPU is this kernel's bottleneck, the MXU is idle): bit
-            # weights 2^val are exact in bf16 (kz <= 8 -> values <= 128) and
-            # the f32 accumulation of <= sub terms <= 255 is exact
-            sh = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
-            # precision pinned to DEFAULT (see the conv kernel note: a global
-            # "highest" would request an fp32 contract on bf16 operands,
-            # which this Mosaic build rejects)
-            s = jnp.dot(sh.astype(jnp.bfloat16), ones,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-            out_ref[0, 0, k, :] = s[:, 0].astype(jnp.int32)
-            return 0
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _compute():
+            ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
+            # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
 
-        for k in range(kxy):  # statically unrolled (see conv kernel note)
-            k_step(k, 0)
+            def k_step(k, _):
+                row_k = rows_ref[0, ti, k]
+                win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+                q = q_ref[0, 0, k, :]                          # (tile,)
+                val = win_row - q[:, None]                     # (tile, sub)
+                # unsigned compare: uint32(val) < kz == (0 <= val < kz) in one
+                # op; q == MAXKEY (invalid) would "match" the table's MAXKEY
+                # padding (val == 0) — mask it out
+                hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
+                # lane reduction on the MXU (27% faster than a VPU jnp.sum
+                # here — the VPU is this kernel's bottleneck, the MXU is
+                # idle): bit weights 2^val are exact in bf16 (kz <= 8 ->
+                # values <= 128) and the f32 accumulation of <= sub terms
+                # <= 255 is exact
+                sh = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
+                # precision pinned to DEFAULT (see the conv kernel note: a
+                # global "highest" would request an fp32 contract on bf16
+                # operands, which this Mosaic build rejects)
+                s = jnp.dot(sh.astype(jnp.bfloat16), ones,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                out_ref[0, 0, k, :] = s[:, 0].astype(jnp.int32)
+                return 0
+
+            for k in range(kxy):  # statically unrolled (see conv kernel note)
+                k_step(k, 0)
 
     return pl.pallas_call(
         body,
@@ -531,6 +583,8 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, t, kxy), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-tile active flags
             pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
@@ -540,7 +594,7 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
         interpret=interpret,
-    )(rows, q_lo_t, win_table)
+    )(rows, active[:, None, :], q_lo_t, win_table)
 
 
 def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
@@ -566,14 +620,16 @@ def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))
     win_table = make_window_table(sorted_keys, sub, stride)
+    active = jnp.any(any_valid, axis=1).astype(jnp.int32)
     bits = _pallas_zrun_presence(q_t, rows, win_table, kz, sub, tile,
-                                 stride, interpret=interpret)
+                                 stride, active=active, interpret=interpret)
     return jnp.transpose(bits, (0, 2, 1, 3)).reshape(b, kxy, c_out), ok
 
 
 def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                       win_table: jnp.ndarray, kz: int,
                       sub: int, tile: int, stride: int = 128,
+                      active: jnp.ndarray | None = None,
                       interpret: bool = False):
     """Presence bitmask AND rank per z-run base query, banded.
 
@@ -590,45 +646,58 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
     b, t, kxy, tile_ = q_lo_t.shape
     assert kz <= 8
+    if active is None:
+        active = jnp.ones((b, t), jnp.int32)
 
-    def body(rows_ref, q_ref, win_ref, bits_ref, rank_ref):
+    def body(rows_ref, act_ref, q_ref, win_ref, bits_ref, rank_ref):
         ti = pl.program_id(1)
 
-        ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
-        # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
+        # whole-tile skip (see _pallas_banded_conv).  Skipped rank is 0 —
+        # downstream position decode masks by the presence bits, which are 0
+        @pl.when(act_ref[0, 0, ti] == 0)
+        def _skip():
+            bits_ref[0, 0] = jnp.zeros((kxy, tile_), jnp.int32)
+            rank_ref[0, 0] = jnp.zeros((kxy, tile_), jnp.int32)
 
-        def k_step(k, _):
-            row_k = rows_ref[0, ti, k]
-            win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
-            q = q_ref[0, 0, k, :]                          # (tile,)
-            val = win_row - q[:, None]                     # (tile, sub)
-            # unsigned compare folds (0 <= val < kz) into one op; q == MAXKEY
-            # (invalid) would "match" the table's MAXKEY padding — mask it out
-            hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
-            lt = val < 0
-            # BOTH lane reductions ride ONE MXU dot (the VPU is the kernel's
-            # bottleneck; see _pallas_zrun_presence): encode
-            #   M = 2^val (hit)  +  512 * (val < 0)
-            # (disjoint conditions; every value — powers of two <= 128 and
-            # 512 — is exact in bf16, and the f32 accumulation is exact:
-            # sum <= 255 + 512*sub < 2^24).  Decode: bits = S & 511,
-            # in-window count = S >> 9.
-            m = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
-            m = m + jnp.where(lt, 512.0, 0.0)
-            # precision pinned to DEFAULT (see the conv kernel note)
-            s = jnp.dot(m.astype(jnp.bfloat16), ones,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-            s_i = s[:, 0].astype(jnp.int32)
-            bits_ref[0, 0, k, :] = s_i & 511
-            # MAXKEY pads and later keys compare >= q, so the count covers
-            # exactly the in-window keys below q; keys before the window are
-            # all < q by the boundary choice: absolute rank = row*stride + cnt
-            rank_ref[0, 0, k, :] = row_k * stride + (s_i >> 9)
-            return 0
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _compute():
+            ones = jnp.ones((sub, 128), jnp.bfloat16)  # full lane width: an
+            # 8-lane RHS crashes the remote Mosaic compiler at small-cap shapes
 
-        for k in range(kxy):  # statically unrolled (see conv kernel note)
-            k_step(k, 0)
+            def k_step(k, _):
+                row_k = rows_ref[0, ti, k]
+                win_row = win_ref[0, pl.ds(row_k, 1), :]       # (1, sub)
+                q = q_ref[0, 0, k, :]                          # (tile,)
+                val = win_row - q[:, None]                     # (tile, sub)
+                # unsigned compare folds (0 <= val < kz) into one op;
+                # q == MAXKEY (invalid) would "match" the table's MAXKEY
+                # padding — mask it out
+                hit = (val.astype(jnp.uint32) < kz) & (q[:, None] != 2**31 - 1)
+                lt = val < 0
+                # BOTH lane reductions ride ONE MXU dot (the VPU is the
+                # kernel's bottleneck; see _pallas_zrun_presence): encode
+                #   M = 2^val (hit)  +  512 * (val < 0)
+                # (disjoint conditions; every value — powers of two <= 128 and
+                # 512 — is exact in bf16, and the f32 accumulation is exact:
+                # sum <= 255 + 512*sub < 2^24).  Decode: bits = S & 511,
+                # in-window count = S >> 9.
+                m = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
+                m = m + jnp.where(lt, 512.0, 0.0)
+                # precision pinned to DEFAULT (see the conv kernel note)
+                s = jnp.dot(m.astype(jnp.bfloat16), ones,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+                s_i = s[:, 0].astype(jnp.int32)
+                bits_ref[0, 0, k, :] = s_i & 511
+                # MAXKEY pads and later keys compare >= q, so the count covers
+                # exactly the in-window keys below q; keys before the window
+                # are all < q by the boundary choice: absolute rank =
+                # row*stride + cnt
+                rank_ref[0, 0, k, :] = row_k * stride + (s_i >> 9)
+                return 0
+
+            for k in range(kxy):  # statically unrolled (see conv kernel note)
+                k_step(k, 0)
 
     return pl.pallas_call(
         body,
@@ -636,6 +705,8 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, t, kxy), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.SMEM),  # see conv kernel SMEM note
+            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-tile active flags
             pl.BlockSpec((1, 1, kxy, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win_table.shape[1], sub), lambda bi, ti: (bi, 0, 0),
@@ -652,7 +723,7 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
             jax.ShapeDtypeStruct((b, t, kxy, tile), jnp.int32),
         ),
         interpret=interpret,
-    )(rows, q_lo_t, win_table)
+    )(rows, active[:, None, :], q_lo_t, win_table)
 
 
 def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
@@ -676,8 +747,9 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     rows, ok = _band_prepass(sorted_keys, q_first, q_last, any_valid, sub, stride)
     q_t = jnp.transpose(q4, (0, 2, 1, 3))
     win_table = make_window_table(sorted_keys, sub, stride)
+    active = jnp.any(any_valid, axis=1).astype(jnp.int32)
     bits, rank = _pallas_zrun_rank(q_t, rows, win_table, kz, sub, tile,
-                                   stride, interpret=interpret)
+                                   stride, active=active, interpret=interpret)
     tr = lambda a: jnp.transpose(a, (0, 2, 1, 3)).reshape(b, kxy, c_out)  # noqa: E731
     return tr(bits), tr(rank), ok
 

@@ -23,20 +23,20 @@ def test_band_layout_union_detects_overflow():
     # one tile of 128 outputs gathering from rows 0..127 -> fits sub=256
     c_in, tile = 1024, DEFAULT_TILE
     kmap = np.arange(tile, dtype=np.int32)[None, None, :]  # (1, 1, 128)
-    _, _, ok = band_layout_union(jnp.asarray(kmap), c_in, sub=256, tile=tile)
+    _, _, ok, _ = band_layout_union(jnp.asarray(kmap), c_in, sub=256, tile=tile)
     assert bool(ok)
 
     # same tile but one gather lands 900 rows away -> cannot fit a 256 window
     kmap_bad = kmap.copy()
     kmap_bad[0, 0, -1] = 950
-    _, _, ok_bad = band_layout_union(jnp.asarray(kmap_bad), c_in, sub=256,
+    _, _, ok_bad, _ = band_layout_union(jnp.asarray(kmap_bad), c_in, sub=256,
                                      tile=tile)
     assert not bool(ok_bad)
 
     # sentinel (invalid) entries are ignored by the fit
     kmap_sent = kmap.copy()
     kmap_sent[0, 0, -1] = c_in  # sentinel
-    _, _, ok_sent = band_layout_union(jnp.asarray(kmap_sent), c_in, sub=256,
+    _, _, ok_sent, _ = band_layout_union(jnp.asarray(kmap_sent), c_in, sub=256,
                                       tile=tile)
     assert bool(ok_sent)
 

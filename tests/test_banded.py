@@ -58,7 +58,7 @@ def test_banded_matches_plain_on_real_bands(rng):
     )
     kernel = jnp.asarray(rng.standard_normal((27, f, f)).astype(np.float32) * 0.2)
 
-    _, _, ok = band_layout_union(kmap, c, min(384, c), 128)
+    _, _, ok, _ = band_layout_union(kmap, c, min(384, c), 128)
     assert bool(ok), "real pyramid bands must fit the default sub-window"
 
     got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
@@ -108,7 +108,7 @@ def test_packed_layout_rel_encoding(rng):
     base = rng.integers(0, c_in - sub * pack, size=(1, 3, 2))
     kmap = (base[..., None] + rng.integers(0, sub * pack - 64, size=(1, 3, 2, tile))
             ).reshape(1, 3, 2 * tile).astype(np.int32)
-    starts, rel, ok = band_layout_union(jnp.asarray(kmap), c_in, sub, tile,
+    starts, rel, ok, _ = band_layout_union(jnp.asarray(kmap), c_in, sub, tile,
                                         pack=pack)
     assert bool(ok)
     s = np.asarray(starts)
@@ -130,7 +130,7 @@ def test_banded_fallback_on_scattered_kmap(rng, monkeypatch):
     kmap = jnp.asarray(rng.integers(0, c + 1, size=(b, k, c)).astype(np.int32))
     feats = jnp.asarray(rng.standard_normal((b, c, 8)).astype(np.float32))
     kernel = jnp.asarray(rng.standard_normal((k, 8, 8)).astype(np.float32))
-    _, _, ok = band_layout_union(kmap, c, 384, 128)
+    _, _, ok, _ = band_layout_union(kmap, c, 384, 128)
     assert not bool(ok)
     got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
     want = _plain_gather_conv(feats, kmap, kernel)
@@ -151,7 +151,7 @@ def test_banded_sentinel_rows_are_zero(rng):
 
 def test_band_layout_union_alignment(rng):
     kmap = jnp.asarray(rng.integers(0, 64, size=(1, 4, 256)).astype(np.int32))
-    starts, rel, ok = band_layout_union(kmap, 512, 128, 128)
+    starts, rel, ok, _ = band_layout_union(kmap, 512, 128, 128)
     assert bool(ok)
     assert np.all(np.asarray(starts) % 16 == 0)
     assert np.asarray(rel).max() <= 128
