@@ -50,6 +50,7 @@ from egonn_tpu.sparse.packing import (
     PackSpec,
     halve_keys,
     halved_spec,
+    compact_ranked,
     lookup_sorted,
     pack_keys,
     sorted_unique,
@@ -232,8 +233,6 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
     the per-level sorted-table lookups (measured 1.6 ms of bucket row-gathers
     per batch-8 forward) with one extra cheap dual sort per level.
     """
-    from egonn_tpu.sparse.packing import MAXKEY
-
     source_index = jnp.zeros((spec.capacities[0],), jnp.int32)
     if keys0 is not None:
         coords = [coords0_t]
@@ -268,10 +267,9 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         # back to fine order: invert the sort permutation with one more sort
         _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)
-        # compaction by second sort (see packing.sorted_unique): unique keys
-        # ascending, dups/pads -> MAXKEY sort to the end
-        uniq = jnp.where(is_first, sk, MAXKEY)
-        out_keys = jax.lax.sort(uniq)[:cap_l]
+        # compaction by rank-shift (see packing.compact_ranked): ~2x cheaper
+        # than the second sort it replaces
+        out_keys, _, _ = compact_ranked(sk, is_first, cap_l)
         out_mask = out_keys != MAXKEY
         pack_l = spec.pack_at(l)
         out_coords = jnp.where(out_mask[None, :],
