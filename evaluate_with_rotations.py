@@ -30,9 +30,8 @@ def main():
     import numpy as np
     import jax
 
-    os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from egonn_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache(jax.config)
 
     from egonn_tpu.config import ModelParams
     from egonn_tpu.eval.rotations import RotationEvaluator

@@ -23,9 +23,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: compiles in this environment are slow (remote
 # service); caching makes repeat test runs fast.
-os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from egonn_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax.config)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
