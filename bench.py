@@ -40,7 +40,9 @@ def main():
     from egonn_tpu.ops.quantization import PolarQuantizer
     from egonn_tpu.sparse.pyramid import build_pyramid
 
-    b = 8
+    # batch is a throughput knob (serving batches amortize per-kernel dispatch
+    # and tail effects); override for sweeps with EGONN_BENCH_BATCH
+    b = int(os.environ.get("EGONN_BENCH_BATCH", "8"))
     num_points = 65536
     cap0 = 16384
 

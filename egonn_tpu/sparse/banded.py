@@ -49,11 +49,14 @@ import jax.numpy as jnp
 # wrappers, and EGONN_BANDED=0 selects the exact gather engine outright.
 FALLBACK = os.environ.get("EGONN_BANDED_FALLBACK", "0") == "1"
 # channel-pack narrow-channel conv tables (conv_band_params).  Off by default:
-# e2e bench measured 207 vs 296 clouds/s with packing on — the per-offset lane
-# rotation (pack-1 rolled copies + selects on (tile, 128) bf16) costs more VPU
-# than the smaller one-hot build saves.  Kept behind a flag for narrow-channel
-# workloads where the gather contraction dominates (e.g. wide tables, K=27+).
+# e2e bench measured 207 vs 296 clouds/s with packing on in "roll" mode — the
+# per-offset lane rotation (pack-1 rolled copies + selects on (tile, 128)
+# bf16) costs more VPU than the smaller one-hot build saves.  The "wsel" mode
+# (default when packing) replaces the rolls with pack pre-shifted weight
+# matmuls + (tile, F) selects — group alignment rides the MXU instead of the
+# VPU; see _pallas_banded_conv.
 PACK_ENABLED = os.environ.get("EGONN_CONV_PACK", "0") == "1"
+PACK_MODE = os.environ.get("EGONN_CONV_PACK_MODE", "wsel")  # "wsel" | "roll"
 
 DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
@@ -183,6 +186,7 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
 def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         rel: jnp.ndarray, kernel: jnp.ndarray,
                         sub: int, tile: int, pack: int = 1,
+                        pack_mode: str = "wsel",
                         active: jnp.ndarray | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel: grid over (B, T); the whole per-cloud feature table rides
@@ -196,18 +200,25 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     materializes GBs of one-hot traffic).
 
     feats (B, C_rows, 128) bf16; starts (B, T, K) int32 (multiples of 16);
-    rel (B, T, K, tile) int32 in [0, sub*pack]; kernel (K, 128, F_out).
+    rel (B, T, K, tile) int32 in [0, sub*pack]; kernel (K, 128, F_out)
+    (pack_mode "wsel": (K, pack, 128, F_out) bf16 pre-shifted variants).
     Returns (B, T, tile, F_out) f32.
 
     pack > 1 (channel packing, conv_band_params): each 128-lane table row
     holds `pack` voxels of 128/pack channels.  The one-hot picks the PACKED
     row (rel >> log2(pack)) — pack x less MXU contraction and VPU one-hot
-    build — and the neighbor's lane group (rel & (pack-1)) is rotated down to
-    lanes [0, 128/pack) by a select over statically rotated copies; sibling
-    lanes carry other voxels' features, which the weight matmul zeroes (kernel
-    rows >= f_in are zero-padded).  Bit-identical to unpacked: the lane
-    rotation is exact and both weight contractions are 128-deep with the same
-    nonzero partial products.
+    build.  The neighbor's lane-group (rel & (pack-1)) alignment is applied by
+    pack_mode:
+      "wsel" (default): contract against `pack` pre-shifted weight variants
+        and select each row's variant — group work rides the (otherwise idle)
+        MXU plus (tile, F) selects;
+      "roll": rotate the group down to lanes [0, 128/pack) by a select over
+        statically rotated (tile, 128) copies — measured 206 vs 296 clouds/s
+        e2e (the rolls are the whole regression; kept for A/B).
+    Sibling lanes carry other voxels' features, which the weight contraction
+    zeroes (rows outside the selected group are zero).  Both modes are
+    bit-identical to unpacked: same nonzero partial products, f32 accumulation,
+    +0.0 terms exact.
 
     Toolchain notes (bisected on this Mosaic build): DMA into a scratch with
     lane dim < 128 crashes the remote compiler, as does any bf16 DMA — avoided
@@ -221,7 +232,12 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     b, t, k_vol, _ = rel.shape
     c_rows = feats.shape[1]
     f_out = kernel.shape[-1]
-    assert feats.shape[-1] == 128 and kernel.shape[1] == 128
+    assert feats.shape[-1] == 128
+    if pack > 1 and pack_mode == "wsel":
+        assert kernel.shape[:3] == (k_vol, pack, 128) and \
+            kernel.dtype == jnp.bfloat16, (kernel.shape, kernel.dtype)
+    else:
+        assert kernel.shape[1] == 128
     assert feats.dtype == jnp.bfloat16  # halves the VMEM block (the level-0
     # table is 8 MB in f32 — over the 16 MB scoped-vmem budget with headroom)
     assert pack in (1, 2, 4) and tile % 1 == 0
@@ -259,6 +275,26 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                 g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                             precision=prec)
                 gb = g.astype(jnp.bfloat16)
+                if pack > 1 and pack_mode == "wsel":
+                    # weight-select: contract the packed row against `pack`
+                    # pre-shifted weight variants (kern_ref (K, pack, 128, F);
+                    # variant j holds the weights at rows [j*lanes, (j+1)*
+                    # lanes), zeros elsewhere) and pick each output row's
+                    # variant by its lane group.  Moves the group alignment
+                    # from pack-1 VPU lane rolls of (tile, 128) bf16 onto the
+                    # MXU (pack small matmuls) + (tile, F) selects —
+                    # bit-identical to the roll mode (same nonzero partial
+                    # products, f32 accumulation, +0.0 terms exact).
+                    sg = (rel_k & (pack - 1))[:, None]
+                    outk = jnp.dot(gb, kern_ref[k, 0],
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+                    for j in range(1, pack):
+                        oj = jnp.dot(gb, kern_ref[k, j],
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+                        outk = jnp.where(sg == j, oj, outk)
+                    return acc + outk
                 if pack > 1:
                     # rotate the neighbor's lane group down to lanes [0, lanes)
                     sg = (rel_k & (pack - 1))[:, None]
@@ -331,11 +367,23 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
         feats_p = feats.astype(jnp.bfloat16)
         if f_pad:
             feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
-    kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
+    if pack > 1 and PACK_MODE == "wsel":
+        # pre-shifted weight variants (K, pack, 128, F_out): variant j holds
+        # the f_in weight rows at [j*f_in, (j+1)*f_in), zeros elsewhere.  bf16
+        # outside the kernel — identical rounding to the in-kernel cast the
+        # roll mode applies.
+        k_vol = kernel.shape[0]
+        kernel_p = jnp.zeros((k_vol, pack, 128, f_out), jnp.bfloat16)
+        for j in range(pack):
+            kernel_p = kernel_p.at[:, j, j * f_in:(j + 1) * f_in, :].set(
+                kernel.astype(jnp.bfloat16))
+    else:
+        kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
 
     def fast():
         out = _pallas_banded_conv(feats_p, starts, rel, kernel_p, sub, tile,
-                                  pack=pack, active=active, interpret=interpret)
+                                  pack=pack, pack_mode=PACK_MODE,
+                                  active=active, interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
     if not FALLBACK:

@@ -69,16 +69,19 @@ def test_banded_matches_plain_on_real_bands(rng):
 
 
 @pytest.mark.parametrize("f_in", [32, 64])
-def test_banded_packed_matches_plain(rng, f_in, monkeypatch):
+@pytest.mark.parametrize("mode", ["wsel", "roll"])
+def test_banded_packed_matches_plain(rng, f_in, mode, monkeypatch):
     """Channel-packed kernels (f_in 32 -> pack 4, 64 -> pack 2) reproduce the
     gather conv bit-for-bit at bf16 numerics, on a real self map AND a real
-    down-style map (c_in > c_out).  Packing is opt-in (EGONN_CONV_PACK=1 —
-    e2e-slower on the EgoNN workload, see banded.PACK_ENABLED), so enable it
-    explicitly here to keep the path covered."""
+    down-style map (c_in > c_out), in BOTH group-alignment modes ("wsel"
+    pre-shifted weight variants, "roll" lane rotations).  Packing is opt-in
+    (EGONN_CONV_PACK=1), so enable it explicitly here to keep the path
+    covered."""
     import egonn_tpu.sparse.banded as banded_mod
     from egonn_tpu.sparse.banded import conv_band_params
 
     monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
+    monkeypatch.setattr(banded_mod, "PACK_MODE", mode)
     pyr = _real_pyramid(rng)
     for lvl_in, kmap in [(pyr[1], pyr[1].kmap_self), (pyr[1], pyr[2].kmap_down)]:
         c_in = lvl_in.coords.shape[-1]
@@ -96,6 +99,27 @@ def test_banded_packed_matches_plain(rng, f_in, monkeypatch):
         err = float(jnp.max(jnp.abs(got - want)))
         scale = float(jnp.max(jnp.abs(want))) + 1e-9
         assert err / scale < 3e-2, (err / scale, kmap.shape)
+
+
+def test_packed_modes_bit_identical(rng, monkeypatch):
+    """"wsel" and "roll" group alignment produce bit-identical outputs (same
+    nonzero partial products, f32 accumulation, +0.0 terms exact)."""
+    import egonn_tpu.sparse.banded as banded_mod
+
+    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
+    pyr = _real_pyramid(rng)
+    lvl, kmap = pyr[1], pyr[1].kmap_self
+    c_in = lvl.coords.shape[-1]
+    k, f_in = kmap.shape[1], 32
+    feats = jnp.asarray(
+        (rng.standard_normal((2, c_in, f_in))
+         * np.asarray(lvl.mask)[..., None]).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((k, f_in, f_in)).astype(np.float32) * 0.2)
+    outs = {}
+    for mode in ("wsel", "roll"):
+        monkeypatch.setattr(banded_mod, "PACK_MODE", mode)
+        outs[mode] = np.asarray(banded_conv_pallas(feats, kmap, kernel, interpret=True))
+    np.testing.assert_array_equal(outs["wsel"], outs["roll"])
 
 
 def test_packed_layout_rel_encoding(rng):
