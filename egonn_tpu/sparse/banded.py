@@ -611,8 +611,12 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                 # here — the VPU is this kernel's bottleneck, the MXU is
                 # idle): bit weights 2^val are exact in bf16 (kz <= 8 ->
                 # values <= 128) and the f32 accumulation of <= sub terms
-                # <= 255 is exact
-                sh = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
+                # <= 255 is exact.  2^val built by EXPONENT-FIELD BITCAST
+                # ((val+127) << 23 reinterpreted as f32 — exact for val in
+                # [0, kz)) instead of int->f32 convert + exp2: all-integer
+                # VPU ops on the kernel's bottleneck unit
+                sh = jax.lax.bitcast_convert_type(
+                    jnp.where(hit, (val + 127) << 23, 0), jnp.float32)
                 # precision pinned to DEFAULT (see the conv kernel note: a
                 # global "highest" would request an fp32 contract on bf16
                 # operands, which this Mosaic build rejects)
@@ -728,9 +732,13 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                 # (disjoint conditions; every value — powers of two <= 128 and
                 # 512 — is exact in bf16, and the f32 accumulation is exact:
                 # sum <= 255 + 512*sub < 2^24).  Decode: bits = S & 511,
-                # in-window count = S >> 9.
-                m = jnp.where(hit, jnp.exp2(val.astype(jnp.float32)), 0.0)
-                m = m + jnp.where(lt, 512.0, 0.0)
+                # in-window count = S >> 9.  Both encodings built by
+                # EXPONENT-FIELD BITCAST (see _pallas_zrun_presence): hit and
+                # lt are disjoint, so one integer select chain replaces the
+                # exp2 + f32 add
+                mb = jnp.where(hit, (val + 127) << 23, 0)
+                mb = jnp.where(lt, (9 + 127) << 23, mb)  # 512.0f == 2^9
+                m = jax.lax.bitcast_convert_type(mb, jnp.float32)
                 # precision pinned to DEFAULT (see the conv kernel note)
                 s = jnp.dot(m.astype(jnp.bfloat16), ones,
                             preferred_element_type=jnp.float32,
