@@ -615,7 +615,7 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                 # ((val+127) << 23 reinterpreted as f32 — exact for val in
                 # [0, kz)) instead of int->f32 convert + exp2: all-integer
                 # VPU ops on the kernel's bottleneck unit
-                sh = jax.lax.bitcast_convert_type(
+                sh = pltpu.bitcast(
                     jnp.where(hit, (val + 127) << 23, 0), jnp.float32)
                 # precision pinned to DEFAULT (see the conv kernel note: a
                 # global "highest" would request an fp32 contract on bf16
@@ -738,7 +738,7 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
                 # exp2 + f32 add
                 mb = jnp.where(hit, (val + 127) << 23, 0)
                 mb = jnp.where(lt, (9 + 127) << 23, mb)  # 512.0f == 2^9
-                m = jax.lax.bitcast_convert_type(mb, jnp.float32)
+                m = pltpu.bitcast(mb, jnp.float32)
                 # precision pinned to DEFAULT (see the conv kernel note)
                 s = jnp.dot(m.astype(jnp.bfloat16), ones,
                             preferred_element_type=jnp.float32,
