@@ -57,7 +57,8 @@ class SparseConv(nn.Module):
     @nn.compact
     def __call__(self, feats: jnp.ndarray, kmap: jnp.ndarray,
                  up_parent: jnp.ndarray | None = None,
-                 up_koffset: jnp.ndarray | None = None) -> jnp.ndarray:
+                 up_koffset: jnp.ndarray | None = None,
+                 epi: tuple | None = None) -> jnp.ndarray:
         init = (
             kaiming_me(self.kernel_volume, self.out_channels)
             if self.kaiming
@@ -70,6 +71,10 @@ class SparseConv(nn.Module):
             # all-ones single-channel input: occupancy fast path (EgoNN stem)
             n_in = kmap.shape[-1]  # self-map: C_in == C_out
             return sconv.sparse_conv_ones(kmap, kernel, n_in)
+        if epi is not None:
+            # eval-only fused conv + BN-affine (+ReLU) + mask: the custom-VJP
+            # wrappers below are a backward-pass concern — never differentiated
+            return sconv.sparse_conv(feats, kmap, kernel, epi=epi)
         if up_parent is not None:
             # k=2 s=2 downsampling conv: gather-only backward via the up map
             return sconv.sparse_conv_down(feats, kmap, up_parent, up_koffset, kernel)
@@ -170,15 +175,26 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, level: Level, train: bool) -> jnp.ndarray:
-        out = SparseConv(self.inplanes, self.planes, 27, kaiming=self.kaiming, name="conv1")(
-            feats, level.kmap_self
-        )
-        out = SparseBatchNorm(self.planes, name="norm1")(out, level.mask, train)
-        out = nn.relu(out)
-        out = SparseConv(self.planes, self.planes, 27, kaiming=self.kaiming, name="conv2")(
-            out, level.kmap_self
-        )
-        out = SparseBatchNorm(self.planes, name="norm2")(out, level.mask, train)
+        conv1 = SparseConv(self.inplanes, self.planes, 27, kaiming=self.kaiming,
+                           name="conv1")
+        norm1 = SparseBatchNorm(self.planes, name="norm1")
+        conv2 = SparseConv(self.planes, self.planes, 27, kaiming=self.kaiming,
+                           name="conv2")
+        norm2 = SparseBatchNorm(self.planes, name="norm2")
+        fuse = not train and sconv.FUSE_BN_EVAL
+        if fuse:
+            # eval: BN folds to a per-channel affine — fuse it (+ReLU, +mask)
+            # into the conv kernel's output write (sparse/conv.py FUSE_BN_EVAL)
+            s1, b1 = norm1.affine()
+            out = conv1(feats, level.kmap_self, epi=(s1, b1, True, level.mask))
+            s2, b2 = norm2.affine()
+            out = conv2(out, level.kmap_self, epi=(s2, b2, False, level.mask))
+        else:
+            out = conv1(feats, level.kmap_self)
+            out = norm1(out, level.mask, train)
+            out = nn.relu(out)
+            out = conv2(out, level.kmap_self)
+            out = norm2(out, level.mask, train)
         if self.use_eca:
             out = ECALayer(self.planes, name="eca")(out, level.mask)
         if self.inplanes != self.planes:

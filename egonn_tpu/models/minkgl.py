@@ -69,15 +69,22 @@ class MinkTrunk(nn.Module):
         x = nn.relu(x)
         x = masked(x, pyramid[0].mask)
 
+        from egonn_tpu.sparse import conv as sconv
+
         out: Dict[int, jnp.ndarray] = {}
         for i, (plane, n_blocks) in enumerate(zip(self.planes, self.layers), start=1):
             lvl = pyramid[i]
             prev = pyramid[i - 1]
-            x = SparseConv(inplanes, inplanes, 8, kaiming=True, name=f"conv{i}")(
-                x, lvl.kmap_down, prev.up_parent, prev.up_koffset
-            )
-            x = SparseBatchNorm(inplanes, name=f"bn{i}")(x, lvl.mask, train)
-            x = nn.relu(x)
+            conv_i = SparseConv(inplanes, inplanes, 8, kaiming=True, name=f"conv{i}")
+            bn_i = SparseBatchNorm(inplanes, name=f"bn{i}")
+            if not train and sconv.FUSE_BN_EVAL:
+                # eval: BN affine + ReLU + mask fused into the conv epilogue
+                s, bshift = bn_i.affine()
+                x = conv_i(x, lvl.kmap_down, epi=(s, bshift, True, lvl.mask))
+            else:
+                x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
+                x = bn_i(x, lvl.mask, train)
+                x = nn.relu(x)
             for j in range(n_blocks):
                 x = BasicBlock(
                     inplanes if j == 0 else plane,

@@ -188,6 +188,9 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         sub: int, tile: int, pack: int = 1,
                         pack_mode: str = "wsel",
                         active: jnp.ndarray | None = None,
+                        epi_sb: jnp.ndarray | None = None,
+                        epi_valid: jnp.ndarray | None = None,
+                        epi_relu: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel: grid over (B, T); the whole per-cloud feature table rides
     as a VMEM input block (every EgoNN level table is <= 5 MB — no manual DMA,
@@ -220,6 +223,16 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     bit-identical to unpacked: same nonzero partial products, f32 accumulation,
     +0.0 terms exact.
 
+    Optional fused epilogue (inference: BN folds to a per-channel affine):
+    `epi_sb` (2, F_out) f32 rides whole in VMEM — row 0 scale, row 1 bias;
+    `epi_valid` (B, T, tile) i32 row-validity (the level mask, tiled);
+    `epi_relu` statically enables max(., 0).  Applied in-register on the f32
+    accumulator before the output write: out = valid * relu(acc * s + b).
+    Saves the separate XLA elementwise pass (one read+write of the whole
+    (B, C, F) activation per conv+BN+ReLU chain) that the opaque pallas_call
+    boundary otherwise forces.  Skipped (all-sentinel) tiles still write zeros:
+    their rows are padding (mask 0), and valid-masking zeroes them anyway.
+
     Toolchain notes (bisected on this Mosaic build): DMA into a scratch with
     lane dim < 128 crashes the remote compiler, as does any bf16 DMA — avoided
     entirely here by keeping feats f32 and casting sub-window slices in-kernel;
@@ -245,8 +258,17 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     lanes = 128 // pack
     if active is None:
         active = jnp.ones((b, t), jnp.int32)
+    has_epi = epi_sb is not None
+    if has_epi:
+        assert epi_valid is not None and epi_sb.shape == (2, f_out), epi_sb.shape
 
-    def body(starts_ref, act_ref, rel_ref, feats_ref, kern_ref, out_ref):
+    def body(*refs):
+        if has_epi:
+            (starts_ref, act_ref, rel_ref, feats_ref, kern_ref,
+             sb_ref, valid_ref, out_ref) = refs
+        else:
+            starts_ref, act_ref, rel_ref, feats_ref, kern_ref, out_ref = refs
+            sb_ref = valid_ref = None
         ti = pl.program_id(1)
 
         # whole-tile skip: capacity slack past a cloud's occupancy is a
@@ -313,48 +335,78 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
             acc = jnp.zeros((tile, f_out), jnp.float32)
             for k in range(k_vol):
                 acc = k_step(k, acc)
+            if has_epi:
+                acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
+                if epi_relu:
+                    acc = jnp.maximum(acc, 0.0)
+                vm = valid_ref[0, 0, :].reshape(tile, 1)
+                acc = jnp.where(vm != 0, acc, 0.0)
             out_ref[0, 0] = acc
 
     # Per-CLOUD scalars ride as an SMEM INPUT BLOCK (fetched once per cloud,
     # ~8 KB), not scalar-prefetch: a prefetched array is whole-batch resident
     # in the 1 MB SMEM and overflows at the reference batch-128 envelope
     # (observed compile OOM); per-STEP blocks measured ~20% slower end-to-end.
+    in_specs = [
+        pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),  # per-tile active flags
+        pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_rows, 128), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),  # whole per-cloud table
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel weights
+    ]
+    operands = [starts, active[:, None, :], rel, feats, kernel]
+    if has_epi:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (2, F_out) affine epilogue
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),  # row validity
+        ]
+        operands += [epi_sb.astype(jnp.float32), epi_valid.astype(jnp.int32)]
     return pl.pallas_call(
         body,
         grid=(b, t),
-        in_specs=[
-            pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),  # per-tile active flags
-            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_rows, 128), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),  # whole per-cloud table
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel weights
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
         interpret=interpret,
-    )(starts, active[:, None, :], rel, feats, kernel)
+    )(*operands)
 
 
 def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                        kernel: jnp.ndarray, sub: int = DEFAULT_SUB,
                        tile: int = DEFAULT_TILE,
+                       epi: tuple | None = None,
                        interpret: bool = False) -> jnp.ndarray:
     """out[b, c] = sum_k feats[b, kmap[b, k, c]] @ kernel[k] via the Pallas
     banded kernel, with an exact whole-batch fallback (lax.cond).
 
     feats (B, C_in, F_in) any float dtype; kmap (B, K, C_out) sentinel C_in;
     kernel (K, F_in, F_out).  Returns (B, C_out, F_out) float32.
+
+    epi (scale (F_out,), bias (F_out,), relu: bool, mask (B, C_out)) fuses the
+    inference-mode BN affine + ReLU + row mask into the kernel's output write
+    (see _pallas_banded_conv); fallback paths apply the same math in XLA.
     """
     b, c_in, f_in = feats.shape
     c_out = kmap.shape[-1]
     f_out = kernel.shape[-1]
+
+    def _epi_xla(out):
+        if epi is None:
+            return out
+        scale, bias, relu, mask = epi
+        y = out * scale + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0)
+
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
-        return _plain_gather_conv(feats, kmap, kernel)
+        return _epi_xla(_plain_gather_conv(feats, kmap, kernel))
     pack, sub = conv_band_params(c_in, c_out, f_in, sub)
     t = c_out // tile
     starts, rel, ok, active = band_layout_union(kmap, c_in, sub, tile, pack=pack)
@@ -380,15 +432,26 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
     else:
         kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
 
+    if epi is not None:
+        scale, bias, _, mask = epi
+        epi_sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+        epi_valid = mask.reshape(b, c_out // tile, tile).astype(jnp.int32)
+    else:
+        epi_sb = epi_valid = None
+
     def fast():
         out = _pallas_banded_conv(feats_p, starts, rel, kernel_p, sub, tile,
                                   pack=pack, pack_mode=PACK_MODE,
-                                  active=active, interpret=interpret)
+                                  active=active, epi_sb=epi_sb,
+                                  epi_valid=epi_valid,
+                                  epi_relu=bool(epi[2]) if epi else False,
+                                  interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
     if not FALLBACK:
         return fast()
-    return jax.lax.cond(ok, fast, lambda: _plain_gather_conv(feats, kmap, kernel))
+    return jax.lax.cond(ok, fast,
+                        lambda: _epi_xla(_plain_gather_conv(feats, kmap, kernel)))
 
 
 # ---------------------------------------------------------------------------

@@ -33,11 +33,25 @@ import jax.numpy as jnp
 # matches the production default matmul precision but not precision=highest).
 USE_BANDED = os.environ.get("EGONN_BANDED", "1") == "1"
 
+# Fuse eval-mode BN affine + ReLU + row mask into the conv output write
+# (models pass an `epi` tuple when train=False).  Saves one XLA elementwise
+# read+write pass over every (B, C, F) activation that follows an opaque
+# pallas_call.  EGONN_FUSE_BN=0 restores the module-by-module eval path
+# (identical math, associated differently: x*(s*rsqrt) + (b - m*s*rsqrt)
+# vs (x-m)*rsqrt*s + b — ulp-level differences only).
+FUSE_BN_EVAL = os.environ.get("EGONN_FUSE_BN", "1") == "1"
+
 
 def set_banded(enabled: bool) -> None:
     """Toggle the banded conv engine (affects subsequent traces only)."""
     global USE_BANDED
     USE_BANDED = enabled
+
+
+def set_fuse_bn(enabled: bool) -> None:
+    """Toggle eval-mode BN/ReLU epilogue fusion (affects subsequent traces)."""
+    global FUSE_BN_EVAL
+    FUSE_BN_EVAL = enabled
 
 
 def _on_tpu() -> bool:
@@ -174,8 +188,8 @@ def _tconv_bwd(res, g):
 sparse_tconv2x2_vjp.defvjp(_tconv_fwd, _tconv_bwd)
 
 
-def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray
-                ) -> jnp.ndarray:
+def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
+                epi: tuple | None = None) -> jnp.ndarray:
     """Sparse convolution.
 
     feats:  (B, C_in, F_in) — padding rows must be zero (use types.masked).
@@ -183,15 +197,27 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray
     kernel: (K, F_in, F_out).
     Returns (B, C_out, F_out); padding rows of the output coordinate set come out
     zero automatically (their kmap entries are all-sentinel).
+
+    epi = (scale (F_out,), bias (F_out,), relu: bool, mask (B, C_out)) fuses an
+    inference-mode BN affine + ReLU + row mask into the conv's output write
+    (Pallas epilogue on TPU; an XLA elementwise tail otherwise).  Inference
+    only — the epilogue has no VJP (eval forwards are never differentiated).
     """
     if USE_BANDED and _on_tpu():
         from egonn_tpu.sparse.banded import banded_conv_pallas
 
-        return banded_conv_pallas(feats, kmap, kernel).astype(feats.dtype)
+        return banded_conv_pallas(feats, kmap, kernel, epi=epi).astype(feats.dtype)
 
     from egonn_tpu.sparse.banded import _plain_gather_conv
 
-    return _plain_gather_conv(feats, kmap, kernel).astype(feats.dtype)
+    out = _plain_gather_conv(feats, kmap, kernel)
+    if epi is not None:
+        scale, bias, relu, mask = epi
+        out = out * scale + bias
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out.astype(feats.dtype)
 
 
 def sparse_conv_ones(kmap: jnp.ndarray, kernel: jnp.ndarray, n_in_rows: int,

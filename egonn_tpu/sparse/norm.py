@@ -17,22 +17,38 @@ import jax.numpy as jnp
 
 
 class SparseBatchNorm(nn.Module):
-    """Masked BatchNorm over (B, C, F) voxel features with (B, C) validity mask."""
+    """Masked BatchNorm over (B, C, F) voxel features with (B, C) validity mask.
+
+    setup-style (not @nn.compact) so `affine()` can expose the eval-mode
+    per-channel affine for fusion into a preceding conv's Pallas epilogue
+    (sparse/conv.py FUSE_BN_EVAL) — same param/variable tree either way.
+    """
 
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
+    def setup(self):
+        self._scale = self.param("scale", nn.initializers.ones, (self.features,))
+        self._bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self._ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )
-        ra_var = self.variable(
+        self._ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+
+    def affine(self) -> tuple:
+        """Eval-mode BN as a per-channel affine: y = x * s + b with
+        s = scale/sqrt(var+eps), b = bias - mean*s.  Algebraically identical
+        to __call__(train=False) (before masking); associates the same ops
+        differently, so ulp-level fp differences only."""
+        s = self._scale * jax.lax.rsqrt(self._ra_var.value + self.eps)
+        return s, self._bias - self._ra_mean.value * s
+
+    def __call__(self, feats: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        scale, bias = self._scale, self._bias
+        ra_mean, ra_var = self._ra_mean, self._ra_var
 
         if train:
             m = mask[..., None].astype(jnp.float32)

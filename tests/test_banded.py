@@ -173,6 +173,35 @@ def test_banded_sentinel_rows_are_zero(rng):
     assert np.all(got[:, 128:] == 0)
 
 
+def test_banded_epilogue_matches_manual(rng):
+    """The fused affine+ReLU+mask epilogue (epi=...) matches the same math
+    applied in XLA on the un-fused kernel output (to fma-association ulps)."""
+    pyr = _real_pyramid(rng)
+    lvl = pyr[1]
+    kmap = lvl.kmap_self
+    b, c = lvl.mask.shape
+    f = 16
+    feats = jnp.asarray(
+        (rng.standard_normal((b, c, f)) * np.asarray(lvl.mask)[..., None]
+         ).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((27, f, f)).astype(np.float32) * 0.2)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, f).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+    for relu in (True, False):
+        got = banded_conv_pallas(feats, kmap, kernel,
+                                 epi=(scale, bias, relu, lvl.mask),
+                                 interpret=True)
+        raw = banded_conv_pallas(feats, kmap, kernel, interpret=True)
+        want = raw * scale + bias
+        if relu:
+            want = jnp.maximum(want, 0.0)
+        want = jnp.where(lvl.mask[..., None], want, 0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        # structure is exact: masked rows are exactly zero
+        assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
+
+
 def test_band_layout_union_alignment(rng):
     kmap = jnp.asarray(rng.integers(0, 64, size=(1, 4, 256)).astype(np.int32))
     starts, rel, ok, _ = band_layout_union(kmap, 512, 128, 128)

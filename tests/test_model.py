@@ -65,6 +65,28 @@ def egonn_forward():
     return built, spec, variables, y, coords, mask
 
 
+def test_fused_bn_eval_matches_unfused(egonn_forward, monkeypatch):
+    """Eval-mode BN/ReLU epilogue fusion (FUSE_BN_EVAL) changes only the
+    op association (x*s' + b' vs (x-m)*rsqrt*s + b): forwards must agree to
+    fp tolerance on every output."""
+    import egonn_tpu.sparse.conv as sconv
+
+    built, spec, variables, _, coords, mask = egonn_forward
+    q = built.quantizer
+
+    def fwd():
+        pyr = jax.jit(lambda c, m: build_pyramid(c, m, spec))(coords, mask)
+        return built.model.apply(variables, pyr, q, train=False)
+
+    monkeypatch.setattr(sconv, "FUSE_BN_EVAL", True)
+    y_fused = fwd()
+    monkeypatch.setattr(sconv, "FUSE_BN_EVAL", False)
+    y_plain = fwd()
+    for key in ("global", "descriptors", "keypoints", "sigma"):
+        a, b = np.asarray(y_fused[key]), np.asarray(y_plain[key])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=key)
+
+
 def test_egonn_output_shapes(egonn_forward):
     built, spec, variables, y, coords, mask = egonn_forward
     b = coords.shape[0]
