@@ -55,14 +55,22 @@ class MinkFPN(nn.Module):
         if ntd == nb:
             feature_maps.append((0, x, inplanes))
 
+        from egonn_tpu.sparse import conv as sconv
+
         for ndx, (plane, n_blocks) in enumerate(zip(self.planes, self.layers)):
             level = ndx + 1
             lvl = pyramid[level]
             prev = pyramid[level - 1]
-            x = SparseConv(inplanes, inplanes, 8, name=f"conv{level}")(
-                x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
-            x = SparseBatchNorm(inplanes, name=f"bn{level}")(x, lvl.mask, train)
-            x = nn.relu(x)
+            conv_l = SparseConv(inplanes, inplanes, 8, name=f"conv{level}")
+            bn_l = SparseBatchNorm(inplanes, name=f"bn{level}")
+            if not train and sconv.FUSE_BN_EVAL:
+                # eval: BN affine + ReLU + mask fused into the conv epilogue
+                s, b = bn_l.affine()
+                x = conv_l(x, lvl.kmap_down, epi=(s, b, True, lvl.mask))
+            else:
+                x = conv_l(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
+                x = bn_l(x, lvl.mask, train)
+                x = nn.relu(x)
             for j in range(n_blocks):
                 block_cls = BasicBlock
                 if use_se:

@@ -29,13 +29,22 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, feats, level, train: bool):
+        from egonn_tpu.sparse import conv as sconv
+
         out_ch = self.planes * self.expansion
         out = SparseConv1x1(self.inplanes, self.planes, name="conv1")(feats)
         out = SparseBatchNorm(self.planes, name="norm1")(out, level.mask, train)
         out = nn.relu(out)
-        out = SparseConv(self.planes, self.planes, 27, name="conv2")(out, level.kmap_self)
-        out = SparseBatchNorm(self.planes, name="norm2")(out, level.mask, train)
-        out = nn.relu(out)
+        conv2 = SparseConv(self.planes, self.planes, 27, name="conv2")
+        norm2 = SparseBatchNorm(self.planes, name="norm2")
+        if not train and sconv.FUSE_BN_EVAL:
+            # eval: BN affine + ReLU + mask fused into the conv epilogue
+            s, b = norm2.affine()
+            out = conv2(out, level.kmap_self, epi=(s, b, True, level.mask))
+        else:
+            out = conv2(out, level.kmap_self)
+            out = norm2(out, level.mask, train)
+            out = nn.relu(out)
         out = SparseConv1x1(self.planes, out_ch, name="conv3")(out)
         out = SparseBatchNorm(out_ch, name="norm3")(out, level.mask, train)
         if self.inplanes != out_ch:
@@ -80,15 +89,23 @@ class ResNetBase(nn.Module):
         x = nn.relu(x)
         x = masked(x, pyramid[0].mask)
 
+        from egonn_tpu.sparse import conv as sconv
+
         inplanes = self.init_dim
         out: Dict[int, jnp.ndarray] = {}
         for i, (plane, n_blocks) in enumerate(zip(self.planes, self.layers), start=1):
             lvl = pyramid[i]
             prev = pyramid[i - 1]
-            x = SparseConv(inplanes, inplanes, 8, name=f"conv{i}")(
-                x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
-            x = SparseBatchNorm(inplanes, name=f"bn{i}")(x, lvl.mask, train)
-            x = nn.relu(x)
+            conv_i = SparseConv(inplanes, inplanes, 8, name=f"conv{i}")
+            bn_i = SparseBatchNorm(inplanes, name=f"bn{i}")
+            if not train and sconv.FUSE_BN_EVAL:
+                # eval: BN affine + ReLU + mask fused into the conv epilogue
+                s, b = bn_i.affine()
+                x = conv_i(x, lvl.kmap_down, epi=(s, b, True, lvl.mask))
+            else:
+                x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
+                x = bn_i(x, lvl.mask, train)
+                x = nn.relu(x)
             for j in range(n_blocks):
                 x = block_cls(
                     inplanes if j == 0 else plane * expansion,

@@ -42,13 +42,26 @@ class SEBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, level: Level, train: bool) -> jnp.ndarray:
-        out = SparseConv(self.inplanes, self.planes, 27, kaiming=self.kaiming,
-                         name="conv1")(feats, level.kmap_self)
-        out = SparseBatchNorm(self.planes, name="norm1")(out, level.mask, train)
-        out = nn.relu(out)
-        out = SparseConv(self.planes, self.planes, 27, kaiming=self.kaiming,
-                         name="conv2")(out, level.kmap_self)
-        out = SparseBatchNorm(self.planes, name="norm2")(out, level.mask, train)
+        from egonn_tpu.sparse import conv as sconv
+
+        conv1 = SparseConv(self.inplanes, self.planes, 27, kaiming=self.kaiming,
+                           name="conv1")
+        norm1 = SparseBatchNorm(self.planes, name="norm1")
+        conv2 = SparseConv(self.planes, self.planes, 27, kaiming=self.kaiming,
+                           name="conv2")
+        norm2 = SparseBatchNorm(self.planes, name="norm2")
+        if not train and sconv.FUSE_BN_EVAL:
+            # eval: BN affine (+ReLU) + mask fused into the conv epilogues
+            s1, b1 = norm1.affine()
+            out = conv1(feats, level.kmap_self, epi=(s1, b1, True, level.mask))
+            s2, b2 = norm2.affine()
+            out = conv2(out, level.kmap_self, epi=(s2, b2, False, level.mask))
+        else:
+            out = conv1(feats, level.kmap_self)
+            out = norm1(out, level.mask, train)
+            out = nn.relu(out)
+            out = conv2(out, level.kmap_self)
+            out = norm2(out, level.mask, train)
         out = SELayer(self.planes, reduction=self.reduction, name="se")(out, level.mask)
         if self.inplanes != self.planes:
             residual = SparseConv1x1(self.inplanes, self.planes, kaiming=self.kaiming,
@@ -73,13 +86,22 @@ class SEBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, level: Level, train: bool) -> jnp.ndarray:
+        from egonn_tpu.sparse import conv as sconv
+
         out_ch = self.planes * self.expansion
         out = SparseConv1x1(self.inplanes, self.planes, name="conv1")(feats)
         out = SparseBatchNorm(self.planes, name="norm1")(out, level.mask, train)
         out = nn.relu(out)
-        out = SparseConv(self.planes, self.planes, 27, name="conv2")(out, level.kmap_self)
-        out = SparseBatchNorm(self.planes, name="norm2")(out, level.mask, train)
-        out = nn.relu(out)
+        conv2 = SparseConv(self.planes, self.planes, 27, name="conv2")
+        norm2 = SparseBatchNorm(self.planes, name="norm2")
+        if not train and sconv.FUSE_BN_EVAL:
+            # eval: BN affine + ReLU + mask fused into the conv epilogue
+            s, b = norm2.affine()
+            out = conv2(out, level.kmap_self, epi=(s, b, True, level.mask))
+        else:
+            out = conv2(out, level.kmap_self)
+            out = norm2(out, level.mask, train)
+            out = nn.relu(out)
         out = SparseConv1x1(self.planes, out_ch, name="conv3")(out)
         out = SparseBatchNorm(out_ch, name="norm3")(out, level.mask, train)
         out = SELayer(out_ch, reduction=self.reduction, name="se")(out, level.mask)
