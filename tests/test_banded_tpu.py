@@ -104,3 +104,32 @@ def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style,
     err = float(jnp.max(jnp.abs(got - want)))
     scale = float(jnp.max(jnp.abs(want))) + 1e-9
     assert err / scale < 3e-3, err / scale
+
+
+def test_banded_conv_epilogue_on_chip(real_pyramid_pair):
+    """The fused affine+ReLU+mask epilogue (FUSE_BN_EVAL path) matches the
+    same math applied in XLA on the un-fused on-chip kernel output; masked
+    rows come out exactly zero."""
+    from egonn_tpu.sparse.banded import banded_conv_pallas
+
+    p_banded, _, _ = real_pyramid_pair
+    lvl = p_banded[2]
+    kmap = lvl.kmap_self
+    rng = np.random.default_rng(2)
+    b, c = lvl.mask.shape
+    f = 64
+    feats = jnp.asarray(
+        (rng.standard_normal((b, c, f))
+         * np.asarray(lvl.mask)[..., None]).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.standard_normal((kmap.shape[1], f, f)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, f).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+    got = jax.jit(lambda x: banded_conv_pallas(
+        x, kmap, kernel, epi=(scale, bias, True, lvl.mask)))(feats)
+    raw = jax.jit(lambda x: banded_conv_pallas(x, kmap, kernel))(feats)
+    want = jnp.where(lvl.mask[..., None],
+                     jnp.maximum(raw * scale + bias, 0.0), 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
