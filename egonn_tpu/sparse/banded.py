@@ -873,6 +873,151 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     return tr(bits), tr(rank), ok
 
 
+# ---------------------------------------------------------------------------
+# Stem LUT conv: the all-ones k^3 stem straight from packed presence bits
+# ---------------------------------------------------------------------------
+
+def stem_lut_tables(kernel: jnp.ndarray, kz: int) -> jnp.ndarray:
+    """(XY*kz, 1, F) stem kernel -> (XY, 2^kz, F) lookup tables.
+
+    EgoNN's stem convolves constant-ones 1-channel features, so each output
+    voxel's value is a SUM OF KERNEL ROWS selected by its neighbor-presence
+    pattern.  Per xy column the kz z-slots give 2^kz possible patterns:
+    T[xy, v] = sum_s bit_s(v) * W[xy*kz + s].  The stem then needs only the
+    PACKED presence bit-fields (Level.stem_bits) — never the unpacked
+    (B, K, C) int32 kernel map (65 MB at the bench workload) nor the
+    (B, K, C) validity operand of the one-matmul path (sparse_conv_ones)."""
+    xy = kernel.shape[0] // kz
+    f_out = kernel.shape[-1]
+    w = kernel.reshape(xy, kz, f_out).astype(jnp.float32)
+    v = jnp.arange(1 << kz, dtype=jnp.int32)
+    vbits = ((v[:, None] >> jnp.arange(kz)[None, :]) & 1).astype(jnp.float32)
+    return jnp.einsum("vs,xsf->xvf", vbits, w)
+
+
+def stem_bits_conv_xla(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int
+                       ) -> jnp.ndarray:
+    """Reference/fallback path: unpack the bit planes and contract in XLA.
+
+    aligned (B, XY, C) int32 presence bit-fields (bit s of column xy =
+    presence of kernel offset xy*kz + s); kernel (XY*kz, 1, F).
+    Returns (B, C, F) f32 — identical math to sparse_conv_ones on the
+    equivalent kernel map."""
+    b, xy, c = aligned.shape
+    f_out = kernel.shape[-1]
+    w = kernel.reshape(xy, kz, f_out)
+    planes = jnp.stack([(aligned >> s) & 1 for s in range(kz)], axis=2)
+    return jnp.einsum("bxsc,xsf->bcf", planes.astype(jnp.float32), w,
+                      preferred_element_type=jnp.float32)
+
+
+def _pallas_stem_lut(aligned: jnp.ndarray, tables: jnp.ndarray,
+                     kz: int, tile: int = DEFAULT_TILE,
+                     epi_sb: jnp.ndarray | None = None,
+                     epi_valid: jnp.ndarray | None = None,
+                     epi_relu: bool = False,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Pallas kernel: per tile and xy column, an in-register one-hot over the
+    2^kz presence patterns gathers the precomputed table row on the MXU.
+
+    aligned (B, XY, C) int32 in [0, 2^kz); tables (XY, 2^kz, F) bf16;
+    optional fused epilogue as in _pallas_banded_conv.
+    Returns (B, T, tile, F) f32.
+
+    Compute is trivial (XY one-hot (tile, 2^kz) matmuls per tile); the win is
+    HBM traffic: the kernel reads the 4-byte bit-fields per (voxel, column)
+    instead of the kz-times-wider unpacked kernel map, and writes the conv
+    (+BN0/ReLU, fused) output directly.  No whole-tile skip: L0 has no deep
+    capacity slack, and all-zero bit-fields already produce exact zeros
+    (T[xy, 0] == 0)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, xy, c = aligned.shape
+    nv = 1 << kz
+    f_out = tables.shape[-1]
+    assert c % tile == 0 and tables.shape == (xy, nv, f_out)
+    assert tables.dtype == jnp.bfloat16
+    t = c // tile
+    has_epi = epi_sb is not None
+
+    def body(*refs):
+        if has_epi:
+            a_ref, tab_ref, sb_ref, valid_ref, out_ref = refs
+        else:
+            a_ref, tab_ref, out_ref = refs
+            sb_ref = valid_ref = None
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nv), 1)
+        prec = jax.lax.Precision.DEFAULT  # see the conv kernel precision note
+        acc = jnp.zeros((tile, f_out), jnp.float32)
+        for k in range(xy):  # statically unrolled (see conv kernel note)
+            val = a_ref[0, k, :]
+            oh = (val[:, None] == iota).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(oh, tab_ref[k], preferred_element_type=jnp.float32,
+                                precision=prec)
+        if has_epi:
+            acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
+            if epi_relu:
+                acc = jnp.maximum(acc, 0.0)
+            vm = valid_ref[0, 0, :].reshape(tile, 1)
+            acc = jnp.where(vm != 0, acc, 0.0)
+        out_ref[0, 0] = acc
+
+    in_specs = [
+        pl.BlockSpec((1, xy, tile), lambda bi, ti: (bi, 0, ti),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tables, whole (~100 KB)
+    ]
+    operands = [aligned, tables]
+    if has_epi:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (2, F_out) affine
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),  # row validity
+        ]
+        operands += [epi_sb.astype(jnp.float32), epi_valid.astype(jnp.int32)]
+    return pl.pallas_call(
+        body,
+        grid=(b, t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
+def stem_lut_conv(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int,
+                  epi: tuple | None = None, tile: int = DEFAULT_TILE,
+                  interpret: bool = False) -> jnp.ndarray:
+    """All-ones stem conv from packed presence bits via the LUT kernel.
+
+    aligned (B, XY, C) int32; kernel (XY*kz, 1, F).  epi as in
+    banded_conv_pallas.  Returns (B, C, F) f32."""
+    b, xy, c = aligned.shape
+    f_out = kernel.shape[-1]
+    if c % tile != 0:
+        out = stem_bits_conv_xla(aligned, kernel, kz)
+        if epi is not None:
+            scale, bias, relu, mask = epi
+            out = out * scale + bias
+            if relu:
+                out = jnp.maximum(out, 0.0)
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+    tables = stem_lut_tables(kernel, kz).astype(jnp.bfloat16)
+    if epi is not None:
+        scale, bias, relu, mask = epi
+        epi_sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+        epi_valid = mask.reshape(b, c // tile, tile).astype(jnp.int32)
+        out = _pallas_stem_lut(aligned, tables, kz, tile, epi_sb=epi_sb,
+                               epi_valid=epi_valid, epi_relu=bool(relu),
+                               interpret=interpret)
+    else:
+        out = _pallas_stem_lut(aligned, tables, kz, tile, interpret=interpret)
+    return out.reshape(b, c, f_out)
+
+
 def zrun_fit(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
              sub: int = DEFAULT_SUB, stride: int = DEFAULT_STRIDE,
              tile: int = DEFAULT_TILE):
@@ -922,8 +1067,8 @@ def band_fit_report_traced(pyramid, spec) -> dict:
             _use_banded_lookup, _xy_offsets, _zrun_queries,
         )
 
-        if lvl.kmap_self is not None and spec.capacities[l] % 128 == 0 \
-                and _use_banded_lookup():
+        if (lvl.kmap_self is not None or lvl.stem_bits is not None) \
+                and spec.capacities[l] % 128 == 0 and _use_banded_lookup():
 
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
             pack_l = spec.pack_at(l)

@@ -155,6 +155,15 @@ def _use_banded_lookup() -> bool:
     return USE_BANDED and _on_tpu()
 
 
+def _use_stem_bits() -> bool:
+    """All-ones stems consume packed presence bit-fields (Level.stem_bits)
+    through the LUT conv instead of an unpacked kernel map.  EGONN_STEM_LUT=0
+    restores the unpacked kmap + sparse_conv_ones path."""
+    import os
+
+    return os.environ.get("EGONN_STEM_LUT", "1") == "1"
+
+
 def _zrun_queries(coords_t: jnp.ndarray, mask: jnp.ndarray,
                   xy_offsets: np.ndarray, kz: int, z_start: int,
                   pack: PackSpec):
@@ -342,10 +351,16 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
         return out.reshape(bsz, 8, c_coarse)
 
     def _self_kmap_banded(lvl_keys, lvl_coords, lvl_masks, k, pack_l, cl,
-                          presence_only):
+                          presence_only, bits_mode=False):
         """Self k^3 kernel map via the z-run kernels: one banded pass per xy
         column yields all kz z-slots (presence bits; + rank for positions).
-        Exact runtime fallback to the full per-key lookup when bands overflow."""
+        Exact runtime fallback to the full per-key lookup when bands overflow.
+
+        bits_mode=True (all-ones stems, Level.stem_bits) returns the ALIGNED
+        presence bit-fields (B, XY, C) int32 instead of unpacking them into a
+        (B, XY*k, C) kernel map — the stem LUT conv (sparse/banded.py
+        stem_lut_conv) consumes the bit-fields directly, so the k-times-wider
+        unpacked map never touches HBM."""
         from egonn_tpu.sparse.banded import zrun_presence, zrun_rank
 
         b = lvl_coords.shape[0]
@@ -383,6 +398,22 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
 
         from egonn_tpu.sparse.banded import FALLBACK
 
+        if bits_mode:
+            def bits_aligned():
+                return (bits & top[:, None, :]) << jshift[:, None, :]
+
+            def bits_from_lookup():
+                # exact fallback: repack the per-key lookup's presence pattern
+                # into the same aligned bit-field layout
+                pos = full_lookup().reshape(b, len(xy), k, cl)
+                pres = (pos != cl).astype(jnp.int32)
+                shifts = jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
+                return jnp.sum(pres << shifts, axis=2)
+
+            if not FALLBACK:
+                return bits_aligned()
+            return jax.lax.cond(zok, bits_aligned, bits_from_lookup)
+
         if not FALLBACK:
             return from_bits()
         return jax.lax.cond(zok, from_bits, full_lookup)
@@ -391,13 +422,22 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     for l in range(spec.num_levels + 1):
         pack_l = spec.pack_at(l)
         kmap_self = None
+        stem_bits = None
         if (l == 0 or l in spec.self_levels) and _use_banded_lookup() \
                 and spec.capacities[l] % 128 == 0:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
-            kmap_self = _self_kmap_banded(
-                keys[l], coords[l], masks[l], k, pack_l, spec.capacities[l],
-                presence_only=(l == 0 and spec.conv0_ones),
-            )
+            if l == 0 and spec.conv0_ones and _use_stem_bits():
+                # all-ones stem: keep the packed presence bit-fields; the
+                # unpacked (B, K, C) kernel map is never materialized
+                stem_bits = _self_kmap_banded(
+                    keys[l], coords[l], masks[l], k, pack_l,
+                    spec.capacities[l], presence_only=True, bits_mode=True,
+                )
+            else:
+                kmap_self = _self_kmap_banded(
+                    keys[l], coords[l], masks[l], k, pack_l, spec.capacities[l],
+                    presence_only=(l == 0 and spec.conv0_ones),
+                )
         elif l == 0 or l in spec.self_levels:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
             q = jax.vmap(
@@ -433,6 +473,7 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
                     src_idx if l == 0 and keys0 is None and spec.need_source_index
                     else None
                 ),
+                stem_bits=stem_bits,
             )
         )
     return Pyramid(levels=tuple(levels))

@@ -202,6 +202,70 @@ def test_banded_epilogue_matches_manual(rng):
         assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
 
 
+def _bits_from_kmap(kmap, cap, k):
+    """Pack a (B, XY*k, C) kernel map's presence pattern into the aligned
+    (B, XY, C) bit-field layout of Level.stem_bits."""
+    b, kk, c = kmap.shape
+    pres = (np.asarray(kmap) != cap).reshape(b, kk // k, k, c)
+    return jnp.asarray(
+        np.sum(pres.astype(np.int64) << np.arange(k)[None, None, :, None],
+               axis=2).astype(np.int32))
+
+
+def test_stem_lut_matches_ones_conv(rng):
+    """stem_lut_conv (interpret) and stem_bits_conv_xla both reproduce the
+    kmap validity matmul (sparse_conv_ones) on a real pyramid's level 0."""
+    from egonn_tpu.sparse.banded import stem_bits_conv_xla, stem_lut_conv
+    from egonn_tpu.sparse.conv import sparse_conv_ones
+
+    pyr = _real_pyramid(rng)
+    lvl = pyr[0]
+    cap = lvl.mask.shape[-1]
+    k = 5
+    kmap = lvl.kmap_self
+    assert kmap.shape[1] == k ** 3
+    bits = _bits_from_kmap(kmap, cap, k)
+    f = 16
+    kernel = jnp.asarray(rng.standard_normal((k ** 3, 1, f)).astype(np.float32) * 0.2)
+    want = sparse_conv_ones(kmap, kernel, cap)
+    got_xla = stem_bits_conv_xla(bits, kernel, k)
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    got_lut = stem_lut_conv(bits, kernel, k, interpret=True)
+    err = float(jnp.max(jnp.abs(got_lut - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert err / scale < 3e-2, err / scale  # LUT rows are bf16-rounded sums
+
+    # fused epilogue variant: same math as XLA-applied epilogue on the raw out
+    s = jnp.asarray(rng.uniform(0.5, 2.0, f).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+    got_e = stem_lut_conv(bits, kernel, k, epi=(s, b, True, lvl.mask),
+                          interpret=True)
+    want_e = jnp.where(lvl.mask[..., None],
+                       jnp.maximum(got_lut * s + b, 0.0), 0.0)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stem_bits_grads_match_autodiff(rng):
+    """sparse_conv_ones_bits' custom VJP (scanned dW re-derivation) matches
+    autodiff of the plane-unpack einsum."""
+    from egonn_tpu.sparse.banded import stem_bits_conv_xla
+    from egonn_tpu.sparse.conv import sparse_conv_ones_bits
+
+    pyr = _real_pyramid(rng)
+    lvl = pyr[0]
+    cap = lvl.mask.shape[-1]
+    k = 5
+    bits = _bits_from_kmap(lvl.kmap_self, cap, k)
+    f = 8
+    kernel = jnp.asarray(rng.standard_normal((k ** 3, 1, f)).astype(np.float32) * 0.2)
+    cot = jnp.asarray(rng.standard_normal((bits.shape[0], cap, f)).astype(np.float32))
+    g1 = jax.grad(lambda w: jnp.sum(sparse_conv_ones_bits(bits, w, k) * cot))(kernel)
+    g2 = jax.grad(lambda w: jnp.sum(stem_bits_conv_xla(bits, w, k) * cot))(kernel)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+
 def test_band_layout_union_alignment(rng):
     kmap = jnp.asarray(rng.integers(0, 64, size=(1, 4, 256)).astype(np.int32))
     starts, rel, ok, _ = band_layout_union(kmap, 512, 128, 128)
