@@ -244,13 +244,19 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
 
     b, t, k_vol, _ = rel.shape
     c_rows = feats.shape[1]
-    f_out = kernel.shape[-1]
     assert feats.shape[-1] == 128
     if pack > 1 and pack_mode == "wsel":
         assert kernel.shape[:3] == (k_vol, pack, 128) and \
             kernel.dtype == jnp.bfloat16, (kernel.shape, kernel.dtype)
+        f_out = kernel.shape[-1]
+    elif pack > 1 and pack_mode == "wcat":
+        # lanes hold all `pack` pre-shifted variants side by side
+        assert kernel.shape[1] == 128 and kernel.shape[-1] % pack == 0 and \
+            kernel.dtype == jnp.bfloat16, (kernel.shape, kernel.dtype)
+        f_out = kernel.shape[-1] // pack
     else:
         assert kernel.shape[1] == 128
+        f_out = kernel.shape[-1]
     assert feats.dtype == jnp.bfloat16  # halves the VMEM block (the level-0
     # table is 8 MB in f32 — over the 16 MB scoped-vmem budget with headroom)
     assert pack in (1, 2, 4) and tile % 1 == 0
@@ -297,6 +303,21 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                 g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                             precision=prec)
                 gb = g.astype(jnp.bfloat16)
+                if pack > 1 and pack_mode == "wcat":
+                    # like "wsel" but all `pack` pre-shifted variants ride ONE
+                    # (128, pack*F) matmul (same products and adds — the wider
+                    # dot computes the same columns, so bit-identical); lane
+                    # slices then pick each row's variant
+                    sg = (rel_k & (pack - 1))[:, None]
+                    out_all = jnp.dot(gb, kern_ref[k],
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+                    outk = out_all[:, 0:f_out]
+                    for j in range(1, pack):
+                        outk = jnp.where(sg == j,
+                                         out_all[:, j * f_out:(j + 1) * f_out],
+                                         outk)
+                    return acc + outk
                 if pack > 1 and pack_mode == "wsel":
                     # weight-select: contract the packed row against `pack`
                     # pre-shifted weight variants (kern_ref (K, pack, 128, F);
@@ -428,6 +449,15 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
         kernel_p = jnp.zeros((k_vol, pack, 128, f_out), jnp.bfloat16)
         for j in range(pack):
             kernel_p = kernel_p.at[:, j, j * f_in:(j + 1) * f_in, :].set(
+                kernel.astype(jnp.bfloat16))
+    elif pack > 1 and PACK_MODE == "wcat":
+        # same variants, concatenated along lanes: (K, 128, pack*F_out) —
+        # one wider matmul per offset instead of `pack` dispatches
+        k_vol = kernel.shape[0]
+        kernel_p = jnp.zeros((k_vol, 128, pack * f_out), jnp.bfloat16)
+        for j in range(pack):
+            kernel_p = kernel_p.at[:, j * f_in:(j + 1) * f_in,
+                                   j * f_out:(j + 1) * f_out].set(
                 kernel.astype(jnp.bfloat16))
     else:
         kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel

@@ -102,8 +102,9 @@ def test_banded_packed_matches_plain(rng, f_in, mode, monkeypatch):
 
 
 def test_packed_modes_bit_identical(rng, monkeypatch):
-    """"wsel" and "roll" group alignment produce bit-identical outputs (same
-    nonzero partial products, f32 accumulation, +0.0 terms exact)."""
+    """"wsel", "wcat" and "roll" group alignment produce bit-identical outputs
+    (same nonzero partial products, f32 accumulation, +0.0 terms exact;
+    "wcat" computes the same columns in one wider dot)."""
     import egonn_tpu.sparse.banded as banded_mod
 
     monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
@@ -116,10 +117,11 @@ def test_packed_modes_bit_identical(rng, monkeypatch):
          * np.asarray(lvl.mask)[..., None]).astype(np.float32))
     kernel = jnp.asarray(rng.standard_normal((k, f_in, f_in)).astype(np.float32) * 0.2)
     outs = {}
-    for mode in ("wsel", "roll"):
+    for mode in ("wsel", "roll", "wcat"):
         monkeypatch.setattr(banded_mod, "PACK_MODE", mode)
         outs[mode] = np.asarray(banded_conv_pallas(feats, kmap, kernel, interpret=True))
     np.testing.assert_array_equal(outs["wsel"], outs["roll"])
+    np.testing.assert_array_equal(outs["wsel"], outs["wcat"])
 
 
 def test_packed_layout_rel_encoding(rng):
