@@ -169,11 +169,18 @@ class Evaluator:
             n = len(chunk)
             outs.setdefault("global", []).append(y["global"][:n])
             if with_local:
-                # keypoint selection by LOWEST sigma (reference :352-361)
+                # keypoint selection by LOWEST sigma (reference :352-361), or
+                # RANDOM valid keypoints under ignore_keypoint_saliency
+                # (reference :354-357 uses torch.randperm; seeded here)
                 sigma = y["sigma"][:n, :, 0]
                 kp_mask = y["kp_mask"][:n]
                 sigma = np.where(kp_mask, sigma, np.inf)
-                order = np.argsort(sigma, axis=1)[:, :n_k]
+                if getattr(self, "ignore_keypoint_saliency", False):
+                    rnd = np.random.default_rng(0).random(sigma.shape)
+                    order = np.argsort(np.where(kp_mask, rnd, np.inf),
+                                       axis=1)[:, :n_k]
+                else:
+                    order = np.argsort(sigma, axis=1)[:, :n_k]
                 take = lambda arr: np.take_along_axis(  # noqa: E731
                     arr, order[..., None] if arr.ndim == 3 else order, axis=1
                 )
@@ -243,7 +250,8 @@ class GLEvaluator(Evaluator):
     def __init__(self, *args, n_k=(128, 256), repeat_dist_th: float = 0.5,
                  icp_refine: bool = False, icp_point2plane: bool = False,
                  n_hypotheses: int = 1024,
-                 rte_th: float = 2.0, rre_th: float = 5.0, **kwargs):
+                 rte_th: float = 2.0, rre_th: float = 5.0,
+                 ignore_keypoint_saliency: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.n_k = list(n_k)
         self.repeat_dist_th = repeat_dist_th
@@ -252,6 +260,9 @@ class GLEvaluator(Evaluator):
         self.n_hypotheses = n_hypotheses
         self.rte_th = rte_th
         self.rre_th = rre_th
+        # ablation: n_k RANDOM valid keypoints instead of lowest-sigma
+        # (reference eval/evaluate.py:354-357; seeded rng here for determinism)
+        self.ignore_keypoint_saliency = ignore_keypoint_saliency
 
     def _gt_relative_pose(self, query_pose, map_pose):
         t = self.dataset_type.lower()

@@ -37,6 +37,13 @@ def main():
     parser.add_argument("--ignore_keypoint_regressor", action="store_true",
                         help="Ablation: keypoints at supervoxel centres "
                              "(reference eval/evaluate.py:468-469)")
+    parser.add_argument("--ignore_keypoint_saliency", action="store_true",
+                        help="Ablation: select n_k RANDOM keypoints instead of "
+                             "lowest-sigma (reference eval/evaluate.py:354-357)")
+    parser.add_argument("--n_samples", type=int, default=None,
+                        help="Number of elements sampled from the query "
+                             "sequence (reference eval/evaluate.py:421; "
+                             "deterministic stride sampling here)")
     parser.add_argument("--global_only", action="store_true",
                         help="Skip the 6DoF local evaluation")
     parser.add_argument("--debug", action="store_true")
@@ -94,7 +101,8 @@ def main():
     if args.global_only or built.model_type != "egonn":
         ev = Evaluator(args.dataset_root, args.dataset_type, args.eval_set_pickle,
                        built, num_points=model_params.num_points,
-                       radius=args.radius, debug=args.debug)
+                       radius=args.radius, n_samples=args.n_samples,
+                       debug=args.debug)
         metrics = ev.evaluate(variables)
         for r, rec in metrics["recall"].items():
             print(f"Radius {r} m  Recall@1: {rec[0]:.4f}  Recall@5: {rec[min(4, len(rec)-1)]:.4f}  "
@@ -105,7 +113,9 @@ def main():
                          radius=args.radius, n_k=args.n_k,
                          icp_refine=args.icp_refine,
                          icp_point2plane=args.icp_point2plane, debug=args.debug,
-                         n_hypotheses=args.ransac_hypotheses)
+                         n_hypotheses=args.ransac_hypotheses,
+                         n_samples=args.n_samples,
+                         ignore_keypoint_saliency=args.ignore_keypoint_saliency)
         global_metrics, local_metrics = ev.evaluate(variables)
         ev.print_results(global_metrics, local_metrics)
 

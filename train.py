@@ -20,10 +20,14 @@ def main():
     parser.add_argument("--model_config", type=str, required=True,
                         help="Path to the model-specific configuration file")
     parser.add_argument("--debug", dest="debug", action="store_true")
+    parser.add_argument("--visualize", dest="visualize", action="store_true",
+                        help="Accepted for reference-CLI parity; the reference "
+                             "trainer takes this parameter and never consumes "
+                             "it (training/trainer.py:51)")
     parser.add_argument("--epochs", type=int, default=None,
                         help="Override the number of epochs")
     parser.add_argument("--weights_path", type=str, default="weights")
-    parser.set_defaults(debug=False)
+    parser.set_defaults(debug=False, visualize=False)
     args = parser.parse_args()
 
     import jax
@@ -36,6 +40,7 @@ def main():
     print(f"Training config path: {args.config}")
     print(f"Model config path: {args.model_config}")
     print(f"Debug mode: {args.debug}")
+    print(f"Visualize: {args.visualize}")
 
     params = TrainingParams(args.config, args.model_config)
     if args.epochs is not None:
