@@ -23,7 +23,12 @@ def main():
                         choices=["mulran", "southbay", "kitti", "synthetic"])
     parser.add_argument("--eval_set_pickle", "--eval_set", dest="eval_set_pickle",
                         type=str, required=True)
-    parser.add_argument("--k", type=int, default=20)
+    parser.add_argument("--k", "--nn", dest="k", type=int, default=20,
+                        help="Maximum number of nearest neighbours to "
+                             "consider (reference flag name: --nn)")
+    parser.add_argument("--n_samples", type=int, default=None,
+                        help="Number of elements sampled from the query "
+                             "sequence (deterministic stride sampling)")
     parser.add_argument("--radius", nargs="+", type=float, default=[5, 20])
     parser.add_argument("--num_sector", type=int, default=60)
     parser.add_argument("--num_ring", type=int, default=20)
@@ -37,6 +42,11 @@ def main():
     if args.debug:
         es.map_set = es.map_set[:10]
         es.query_set = es.query_set[:10]
+    if args.n_samples is not None and len(es.query_set) > args.n_samples:
+        # deterministic stride sampling (the reference random.samples —
+        # third_party/scan_context/evaluate_scan_context.py:59)
+        step = len(es.query_set) / args.n_samples
+        es.query_set = [es.query_set[int(i * step)] for i in range(args.n_samples)]
     loader = get_pointcloud_loader(args.dataset_type)
 
     mgr = ScanContextManager(num_sector=args.num_sector, num_ring=args.num_ring,

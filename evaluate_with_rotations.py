@@ -21,6 +21,11 @@ def main():
                         type=str, required=True)
     parser.add_argument("--model_config", type=str, required=True)
     parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--radius", nargs="+", type=float, default=[5, 20],
+                        help="True Positive thresholds in meters")
+    parser.add_argument("--n_samples", type=int, default=None,
+                        help="Number of elements sampled from the query "
+                             "sequence (deterministic stride sampling)")
     parser.add_argument("--step_deg", type=float, default=10.0)
     parser.add_argument("--max_deg", type=float, default=180.0)
     parser.add_argument("--out", type=str, default=None)
@@ -51,7 +56,8 @@ def main():
     ev = RotationEvaluator(args.dataset_root, args.dataset_type,
                            args.eval_set_pickle, built,
                            num_points=model_params.num_points,
-                           thetas_deg=thetas, debug=args.debug)
+                           thetas_deg=thetas, radius=args.radius,
+                           n_samples=args.n_samples, debug=args.debug)
     results = ev.evaluate(variables)
     for theta, m in results.items():
         r = m["recall"]
