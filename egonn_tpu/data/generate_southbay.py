@@ -115,8 +115,12 @@ def generate_evaluation_set(ds: SouthBayDataset, area: str,
 def main():
     parser = argparse.ArgumentParser(description="Generate SouthBay tuples / eval sets")
     parser.add_argument("--dataset_root", type=str, required=True)
-    parser.add_argument("--pos_threshold", type=float, default=2)
-    parser.add_argument("--neg_threshold", type=float, default=10)
+    # reference flag names are --pos_th/--neg_th (southbay
+    # generate_training_tuples.py); keep both spellings
+    parser.add_argument("--pos_threshold", "--pos_th", dest="pos_threshold",
+                        type=float, default=2)
+    parser.add_argument("--neg_threshold", "--neg_th", dest="neg_threshold",
+                        type=float, default=10)
     parser.add_argument("--min_displacement", type=float, default=1.0)
     parser.add_argument("--dist_threshold", type=float, default=5)
     parser.add_argument("--eval_sets", action="store_true")
