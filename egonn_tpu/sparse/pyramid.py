@@ -58,6 +58,12 @@ from egonn_tpu.sparse.packing import (
 )
 from egonn_tpu.sparse.types import Level, Pyramid
 
+import os as _os
+
+# Dedup-chain permutation inversion: scatter (1) vs second sort (0, default).
+# A/B candidate — see _dedup_chain_single.
+_INV_SCATTER = _os.environ.get("EGONN_INV_SCATTER", "0") == "1"
+
 
 def kernel_offsets(kernel_size: int) -> np.ndarray:
     """(K, 3) int32 offsets. Odd kernels are centered (-k//2..k//2), even kernels
@@ -273,8 +279,15 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
         pr = jnp.where((sk != MAXKEY) & (rank < cap_l), rank, cap_l
                        ).astype(jnp.int32)
-        # back to fine order: invert the sort permutation with one more sort
-        _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
+        # back to fine order: invert the sort permutation.  Two candidates,
+        # A/B-gated (EGONN_INV_SCATTER): a second lax.sort keyed by sp, or a
+        # unique-indices scatter (sp IS a permutation, so targets never
+        # collide — no serialization hazard).
+        if _INV_SCATTER:
+            up_par = jnp.zeros((n,), jnp.int32).at[sp].set(
+                pr, mode="promise_in_bounds", unique_indices=True)
+        else:
+            _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)
         # compaction by rank-shift (see packing.compact_ranked): ~2x cheaper
         # than the second sort it replaces

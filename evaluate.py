@@ -25,7 +25,7 @@ def main():
     parser.add_argument("--weights", type=str, default=None,
                         help="Checkpoint directory (orbax)")
     parser.add_argument("--radius", nargs="+", type=float, default=[5, 20])
-    parser.add_argument("--n_k", nargs="+", type=int, default=[128, 256])
+    parser.add_argument("--n_k", nargs="+", type=int, default=[128])
     parser.add_argument("--icp_refine", action="store_true")
     parser.add_argument("--icp_point2plane", action="store_true",
                         help="Use point-to-plane ICP for the GT refinement "
