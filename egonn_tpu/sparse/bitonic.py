@@ -1,0 +1,188 @@
+"""In-VMEM Pallas bitonic sorter for packed voxel keys.
+
+Why: the coordinate engine's remaining wall is `lax.sort` — XLA's TPU sort
+streams every merge pass through HBM, so the 8x65k level-0 key sort plus the
+dedup chain's dual sorts cost ~4.5 ms of the ~22 ms inference batch.  A 65k
+int32 array is 256 KB — the WHOLE bitonic network fits in VMEM, so one
+pallas_call can run all log2(n)*(log2(n)+1)/2 compare-exchange passes without
+touching HBM in between.
+
+Layout strategy (TPU-shaped, no lane rolls, no gathers — both measured slow on
+this toolchain, see PERFORMANCE.md):
+
+* the n keys live as an (R, 128) tile, element i at (row i // 128, lane i % 128);
+* passes with stride >= 128 flip a ROW bit: reshape rows to (C, 2, t, 128) and
+  compare the two halves — pure sublane addressing, no cross-lane movement;
+* passes with stride < 128 flip a LANE bit: hop into a TRANSPOSED layout
+  (each 128x128 block transposed, "T layout") where lane bits become row bits,
+  and run the same reshape-compare there.  Bitonic structure groups all
+  stride<128 passes at the tail of each merge stage, so the whole sort needs
+  only 2*(log2(n)-7)+2 transpose sessions.
+* the ascending/descending direction of element i in stage k is bit k of i —
+  a broadcasted-iota mask in either layout.
+
+Direction masks use the index bit decomposition
+  normal layout: i = row*128 + lane  (lane = bits 0..6, row = bits 7..)
+  T layout:      i = g*16384 + lane*128 + trow  (trow = original lane = bits
+                 0..6, lane = original row%128 = bits 7..13, g = bits 14..)
+where the T view is stored 2-D as (G*128, 128) with row index g*128 + trow.
+
+Capability notes: int32 only, non-negative keys (MAXKEY = 2^31-1 pads sort
+last), n is padded to a power of two >= 16384 (the T layout needs full 128x128
+blocks).  Optional int32 payloads ride the same swaps (NOT stable: equal keys
+may exchange payloads — fine for every engine use; the first-point-per-voxel
+path keeps lax.sort(is_stable=True)).
+
+Replaces: XLA lax.sort in `packing.sorted_unique(need_index=False)` and the
+dedup chain's dual sorts (reference counterpart: ME's sparse_quantize /
+coordinate-manager, e.g. /root/reference/datasets/quantization.py:42).
+Gated by EGONN_PSORT (off until the on-chip A/B lands).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAXKEY = jnp.int32(2**31 - 1)
+LANES = 128
+MIN_N = 16384  # smallest supported instance: one full 128x128 T block
+
+PSORT = os.environ.get("EGONN_PSORT", "0") == "1"
+
+
+def _bit_mask_normal(R: int, k: int) -> jnp.ndarray:
+    """(R, 128) bool: bit k of the element index i = row*128 + lane."""
+    if k <= 6:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        return ((lane >> k) & 1) == 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    return ((row >> (k - 7)) & 1) == 1
+
+
+def _bit_mask_T(RT: int, k: int) -> jnp.ndarray:
+    """(RT, 128) bool: bit k of i in the transposed layout (see module doc)."""
+    if k <= 6:
+        row = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0)
+        return ((row >> k) & 1) == 1  # bits of the original lane (trow % 128)
+    if k <= 13:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
+        return ((lane >> (k - 7)) & 1) == 1  # bits of the original row % 128
+    row = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0)
+    return ((row >> (k - 7)) & 1) == 1  # bits of g (trow // 128)
+
+
+def _ce(vs, t_rows: int, desc: jnp.ndarray):
+    """One compare-exchange pass at row-stride t_rows.
+
+    vs: list of (R, 128) int32 arrays — keys first, payloads after; swaps are
+    decided on the keys and applied to all.  desc: (R, 128) bool, True where
+    the element's bitonic block sorts descending (uniform across each pair)."""
+    R = vs[0].shape[0]
+    C = R // (2 * t_rows)
+
+    def rs(a):
+        return a.reshape(C, 2, t_rows, LANES)
+
+    k4 = rs(vs[0])
+    a, b = k4[:, 0], k4[:, 1]
+    d = rs(desc)[:, 0]
+    swap = jnp.where(d, a < b, a > b)
+    outs = []
+    for v in vs:
+        v4 = rs(v)
+        x, y = v4[:, 0], v4[:, 1]
+        outs.append(
+            jnp.stack([jnp.where(swap, y, x), jnp.where(swap, x, y)], 1)
+            .reshape(R, LANES)
+        )
+    return outs
+
+
+def _transpose_blocks(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-128x128-block transpose; its own inverse.  (R, 128) -> (R, 128)."""
+    G = v.shape[0] // LANES
+    return v.reshape(G, LANES, LANES).swapaxes(1, 2).reshape(G * LANES, LANES)
+
+
+def _sort_body(n: int, n_payload: int, *refs):
+    R = n // LANES
+    K = n.bit_length() - 1  # n = 2**K
+    ins, outs = refs[: 1 + n_payload], refs[1 + n_payload:]
+    vs = [r[0] for r in ins]  # (R, 128)
+
+    vs = [_transpose_blocks(v) for v in vs]
+    # stages whose passes are all lane-strided (stride < 128) run in T layout
+    for k in range(1, min(7, K) + 1):
+        for j in range(k - 1, -1, -1):
+            vs = _ce(vs, 1 << j, _bit_mask_T(R, k))
+    for k in range(8, K + 1):
+        vs = [_transpose_blocks(v) for v in vs]
+        for j in range(k - 1, 6, -1):  # row-strided passes (stride >= 128)
+            vs = _ce(vs, 1 << (j - 7), _bit_mask_normal(R, k))
+        vs = [_transpose_blocks(v) for v in vs]
+        for j in range(6, -1, -1):  # lane-strided tail, back in T layout
+            vs = _ce(vs, 1 << j, _bit_mask_T(R, k))
+    vs = [_transpose_blocks(v) for v in vs]
+    for o, v in zip(outs, vs):
+        o[0] = v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sort_call(keys3, payloads3, interpret=False):
+    b, R, _ = keys3.shape
+    n = R * LANES
+    n_payload = len(payloads3)
+    spec = pl.BlockSpec((1, R, LANES), lambda bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, R, LANES), jnp.int32)
+                 for _ in range(1 + n_payload)]
+    res = pl.pallas_call(
+        functools.partial(_sort_body, n, n_payload),
+        grid=(b,),
+        in_specs=[spec] * (1 + n_payload),
+        out_specs=[spec] * (1 + n_payload),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(keys3, *payloads3)
+    return res
+
+
+def bitonic_sort(keys: jnp.ndarray, *payloads: jnp.ndarray,
+                 interpret: bool = False):
+    """Ascending sort of int32 keys along the last axis, payloads permuted
+    alongside (not stable).  keys: (..., n) non-negative int32; pads are the
+    caller's problem only in that MAXKEY sorts last.  Internally pads n to a
+    power of two >= 16384.  Returns (keys, *payloads) sorted."""
+    shape = keys.shape
+    n = shape[-1]
+    n_pad = max(MIN_N, 1 << (n - 1).bit_length())
+    lead = shape[:-1]
+    b = 1
+    for d in lead:
+        b *= d
+    k2 = keys.reshape(b, n)
+    p2 = [p.reshape(b, n).astype(jnp.int32) for p in payloads]
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        k2 = jnp.pad(k2, pad, constant_values=2**31 - 1)
+        p2 = [jnp.pad(p, pad) for p in p2]
+    k3 = k2.reshape(b, n_pad // LANES, LANES)
+    p3 = [p.reshape(b, n_pad // LANES, LANES) for p in p2]
+    res = _sort_call(k3, p3, interpret=interpret)
+    outs = [r.reshape(b, n_pad)[:, :n].reshape(shape) for r in res]
+    return outs[0] if not payloads else tuple(outs)
+
+
+def use_psort(n: int) -> bool:
+    """Engine gate: Pallas sort on TPU for instances big enough to matter."""
+    if not PSORT or n < 8192:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

@@ -154,7 +154,11 @@ def sorted_unique(coords_t: jnp.ndarray | None, mask: jnp.ndarray | None,
         sorted_keys, sorted_rows = jax.lax.sort((keys, rows), num_keys=1,
                                                 is_stable=True)
     else:
-        sorted_keys = jax.lax.sort(keys)
+        from egonn_tpu.sparse.bitonic import bitonic_sort, use_psort
+        if use_psort(n):
+            sorted_keys = bitonic_sort(keys)  # in-VMEM Pallas network
+        else:
+            sorted_keys = jax.lax.sort(keys)
         sorted_rows = None
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     is_first = (sorted_keys != prev) & (sorted_keys != MAXKEY)

@@ -64,6 +64,9 @@ import os as _os
 # A/B candidate — see _dedup_chain_single.
 _INV_SCATTER = _os.environ.get("EGONN_INV_SCATTER", "0") == "1"
 
+from egonn_tpu.sparse.bitonic import bitonic_sort as _bitonic_sort
+from egonn_tpu.sparse.bitonic import use_psort as _use_psort
+
 
 def kernel_offsets(kernel_size: int) -> np.ndarray:
     """(K, 3) int32 offsets. Odd kernels are centered (-k//2..k//2), even kernels
@@ -273,7 +276,11 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         # NOTE: halving does NOT preserve sortedness (collapsing a higher field
         # makes the comparison fall through to lower fields), so a re-sort is
         # needed — dual-operand to carry the fine position for the up map.
-        sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1, is_stable=False)
+        if _use_psort(n):
+            sk, sp = _bitonic_sort(down_keys, fine_pos)
+        else:
+            sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1,
+                                  is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
         is_first = (sk != prev) & (sk != MAXKEY)
         rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
@@ -286,6 +293,8 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         if _INV_SCATTER:
             up_par = jnp.zeros((n,), jnp.int32).at[sp].set(
                 pr, mode="promise_in_bounds", unique_indices=True)
+        elif _use_psort(n):
+            _, up_par = _bitonic_sort(sp, pr)
         else:
             _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)

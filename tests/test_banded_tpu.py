@@ -174,3 +174,23 @@ def test_stem_lut_matches_ones_conv_on_chip(real_pyramid_pair):
     want_e = jnp.where(mask[..., None], jnp.maximum(got * scale + bias, 0.0), 0.0)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bitonic_sort_on_chip():
+    """Pallas bitonic sorter at production shapes on real Mosaic: bit-equal to
+    the XLA sort, dual-operand pairs intact (sparse/bitonic.py)."""
+    from egonn_tpu.sparse.bitonic import bitonic_sort
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 2**31 - 1, size=(8, 65536), dtype=np.int32)
+    s = jax.jit(bitonic_sort)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(s), np.sort(x, axis=-1))
+
+    k = rng.integers(0, 4096, size=(4, 16384), dtype=np.int32)
+    p = np.tile(np.arange(16384, dtype=np.int32), (4, 1))
+    ks, ps = jax.jit(lambda a, b: bitonic_sort(a, b))(jnp.asarray(k),
+                                                      jnp.asarray(p))
+    ks, ps = np.asarray(ks), np.asarray(ps)
+    np.testing.assert_array_equal(ks, np.sort(k, axis=-1))
+    for i in range(4):
+        np.testing.assert_array_equal(k[i][ps[i]], ks[i])
