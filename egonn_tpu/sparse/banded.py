@@ -484,6 +484,122 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                         lambda: _epi_xla(_plain_gather_conv(feats, kmap, kernel)))
 
 
+def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
+                      rel: jnp.ndarray, g: jnp.ndarray,
+                      sub: int, tile: int,
+                      active: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused conv-weight gradient: dW[k] = sum_o feats[kmap[k, o]]^T g[o].
+
+    The XLA backward (_conv_dkernel in sparse/conv.py) re-gathers every
+    offset's activations through HBM (~7 ns/row issue-bound — multi-GB of
+    row-gather traffic per conv at the reference batch-128 envelope).  Here the
+    gather is the SAME in-register one-hot MXU matmul as the banded forward,
+    and the dW contraction `gathered^T @ g_tile` runs on the MXU too; dW
+    accumulates in a VMEM output block revisited across the whole (B, T) grid
+    (TPU grids iterate sequentially, the standard Pallas reduction pattern).
+
+    feats (B, C_rows, 128) bf16; starts (B, T, K); rel (B, T, K, tile);
+    g (B, T, tile, F_out) f32 cotangent tiles; active (B, T).
+    Returns (K, 128, F_out) f32 summed over batch and tiles.  Out-of-window
+    neighbors contribute zero — the same drop policy as the banded forward on
+    the same kmap, so the gradient matches the function actually computed.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, k_vol, _ = rel.shape
+    c_rows = feats.shape[1]
+    f_out = g.shape[-1]
+    assert feats.dtype == jnp.bfloat16 and feats.shape[-1] == 128
+
+    def body(starts_ref, act_ref, rel_ref, feats_ref, g_ref, out_ref):
+        bi, ti = pl.program_id(0), pl.program_id(1)
+
+        @pl.when((bi == 0) & (ti == 0))
+        def _init():
+            out_ref[...] = jnp.zeros((k_vol, 128, f_out), jnp.float32)
+
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _acc():
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
+            prec = jax.lax.Precision.DEFAULT
+            gt = g_ref[0, 0].astype(jnp.bfloat16)  # (tile, F_out)
+            for k in range(k_vol):
+                dk = pl.multiple_of(starts_ref[0, ti, k], 16)
+                sub_w = feats_ref[0, pl.ds(dk, sub), :]
+                rel_k = rel_ref[0, 0, k, :]
+                oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
+                gth = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
+                              precision=prec).astype(jnp.bfloat16)
+                # contract the tile axis of both operands: (128, F_out)
+                dwk = jax.lax.dot_general(
+                    gth, gt, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                out_ref[k] += dwk
+
+    return pl.pallas_call(
+        body,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, t, k_vol), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, k_vol, tile), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_rows, 128), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_vol, 128, f_out), lambda bi, ti: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_vol, 128, f_out), jnp.float32),
+        interpret=interpret,
+    )(starts, active[:, None, :], rel, feats, g)
+
+
+def banded_conv_dw(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray,
+                   fallback_fn=None, sub: int = DEFAULT_SUB,
+                   tile: int = DEFAULT_TILE, interpret: bool = False):
+    """dW for out[o] = sum_k feats[kmap[k, o]] @ W[k] via the banded dW kernel.
+
+    feats (B, C_in, F_in); kmap (B, K, C_out) sentinel C_in; g (B, C_out, F_out)
+    cotangent.  Returns (K, F_in, F_out) f32, or None when the map shape is not
+    banded-eligible (caller falls back to the XLA gather backward).
+
+    Band policy mirrors banded_conv_pallas: with EGONN_BANDED_FALLBACK=1 a
+    band overflow lax.conds to `fallback_fn` (the exact gather backward);
+    by default out-of-window neighbors drop — the same neighbors the banded
+    FORWARD on this kmap dropped, so the gradient is consistent with the
+    function actually computed.
+    """
+    b, c_in, f_in = feats.shape
+    k_vol, c_out = kmap.shape[1], kmap.shape[2]
+    f_out = g.shape[-1]
+    if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
+        return None
+    # unpacked width only (channel packing is a forward-table layout; dW reads
+    # the plain table)
+    subw = conv_sub_width(c_in, c_out, sub)
+    starts, rel, ok, active = band_layout_union(kmap, c_in, subw, tile, pack=1)
+    feats_p = feats.astype(jnp.bfloat16)
+    if f_in < 128:
+        feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, 128 - f_in)))
+    t = c_out // tile
+    g_t = g.astype(jnp.float32).reshape(b, t, tile, f_out)
+
+    def fast():
+        dw = _pallas_banded_dw(feats_p, starts, rel, g_t, subw, tile,
+                               active, interpret=interpret)
+        return dw[:, :f_in, :]
+
+    if not FALLBACK or fallback_fn is None:
+        return fast()
+    return jax.lax.cond(ok, fast, lambda: fallback_fn(feats, kmap, g))
+
+
 # ---------------------------------------------------------------------------
 # Banded sorted-key LOOKUP: the kernel-map construction engine
 # ---------------------------------------------------------------------------

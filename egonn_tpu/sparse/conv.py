@@ -42,6 +42,12 @@ USE_BANDED = os.environ.get("EGONN_BANDED", "1") == "1"
 # vs (x-m)*rsqrt*s + b — ulp-level differences only).
 FUSE_BN_EVAL = os.environ.get("EGONN_FUSE_BN", "1") == "1"
 
+# Fused banded dW backward (sparse/banded.py::banded_conv_dw): the conv-weight
+# gradient's per-offset re-gathers move from XLA HBM row-gathers onto the
+# banded kernel's in-VMEM one-hot MXU path.  EGONN_BANDED_DW=0 restores the
+# XLA re-gather backward (A/B switch).
+BANDED_DW = os.environ.get("EGONN_BANDED_DW", "1") == "1"
+
 
 def set_banded(enabled: bool) -> None:
     """Toggle the banded conv engine (affects subsequent traces only)."""
@@ -79,10 +85,9 @@ def _pad_zero_row(feats: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([feats, jnp.zeros((b, 1, f), feats.dtype)], axis=1)
 
 
-def _conv_dkernel(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray
-                  ) -> jnp.ndarray:
-    """dL/dkernel for out[o] = sum_k feats[kmap[k,o]] @ W[k]:
-    dW[k] = gathered_k^T @ g, computed by re-gathering (memory-free backward)."""
+def _conv_dkernel_gather(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Exact XLA dW: re-gather per offset (memory-free but HBM-gather bound)."""
     feats_p = _pad_zero_row(feats)
 
     def step(_, idx_k):
@@ -92,6 +97,21 @@ def _conv_dkernel(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray
 
     _, dk = jax.lax.scan(step, None, jnp.swapaxes(kmap, 0, 1))
     return dk
+
+
+def _conv_dkernel(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """dL/dkernel for out[o] = sum_k feats[kmap[k,o]] @ W[k]:
+    dW[k] = gathered_k^T @ g.  On TPU the gather + contraction run fused in
+    the banded Pallas dW kernel (sparse/banded.py::banded_conv_dw); otherwise
+    (or for non-banded-eligible map shapes) the XLA re-gather backward."""
+    if USE_BANDED and BANDED_DW and _on_tpu():
+        from egonn_tpu.sparse.banded import banded_conv_dw
+
+        dw = banded_conv_dw(feats, kmap, g, fallback_fn=_conv_dkernel_gather)
+        if dw is not None:
+            return dw
+    return _conv_dkernel_gather(feats, kmap, g)
 
 
 @jax.custom_vjp

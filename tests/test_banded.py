@@ -321,3 +321,41 @@ def test_zrun_presence_matches_lookup(rng):
         present_ref = np.asarray(pos) < c
         present_bits = (np.asarray(bits[:, 0]) >> j) & 1
         np.testing.assert_array_equal(present_bits.astype(bool), present_ref)
+
+
+def test_banded_dw_matches_gather_backward(rng):
+    """The fused banded dW kernel (banded_conv_dw) reproduces the exact XLA
+    re-gather backward at bf16 tolerance on a real pyramid's self and down
+    kernel maps."""
+    from egonn_tpu.sparse.banded import banded_conv_dw
+    from egonn_tpu.sparse.conv import _conv_dkernel_gather
+
+    pyr = _real_pyramid(rng)
+    for kmap, c_in, lbl in [
+        (pyr[1].kmap_self, pyr[1].coords.shape[-1], "self_L1"),
+        (pyr[1].kmap_down, pyr[0].coords.shape[-1], "down_L1"),
+    ]:
+        k_vol = kmap.shape[1]
+        c_out = kmap.shape[-1]
+        f_in, f_out = 16, 24
+        feats = jnp.asarray(rng.standard_normal((2, c_in, f_in)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((2, c_out, f_out)).astype(np.float32))
+
+        got = banded_conv_dw(feats, kmap, g, interpret=True)
+        assert got is not None and got.shape == (k_vol, f_in, f_out), lbl
+        # exact backward with bf16-quantized operands (the kernel's numerics)
+        want = _conv_dkernel_gather(
+            feats.astype(jnp.bfloat16).astype(jnp.float32), kmap,
+            g.astype(jnp.bfloat16).astype(jnp.float32))
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(want))) + 1e-9
+        assert err / scale < 3e-2, (lbl, err / scale)
+
+
+def test_banded_dw_ineligible_returns_none(rng):
+    from egonn_tpu.sparse.banded import banded_conv_dw
+
+    feats = jnp.zeros((1, 48, 16), jnp.float32)  # c_in % 16 == 0 but c_out % 128 != 0
+    kmap = jnp.zeros((1, 8, 96), jnp.int32)
+    g = jnp.zeros((1, 96, 8), jnp.float32)
+    assert banded_conv_dw(feats, kmap, g, interpret=True) is None

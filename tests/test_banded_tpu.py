@@ -194,3 +194,31 @@ def test_bitonic_sort_on_chip():
     np.testing.assert_array_equal(ks, np.sort(k, axis=-1))
     for i in range(4):
         np.testing.assert_array_equal(k[i][ps[i]], ks[i])
+
+
+def test_banded_dw_on_chip(real_pyramid_pair):
+    """Fused banded dW kernel vs the exact XLA re-gather backward on real
+    Mosaic at production-like shapes (self + down maps)."""
+    from egonn_tpu.sparse.banded import banded_conv_dw
+    from egonn_tpu.sparse.conv import _conv_dkernel_gather
+
+    pyr = real_pyramid_pair[0] if isinstance(real_pyramid_pair, tuple) \
+        else real_pyramid_pair
+    rng = np.random.default_rng(13)
+    for kmap, c_in in [(pyr[1].kmap_self, pyr[1].coords.shape[-1]),
+                       (pyr[1].kmap_down, pyr[0].coords.shape[-1])]:
+        b = kmap.shape[0]
+        c_out = kmap.shape[-1]
+        f_in, f_out = 32, 64
+        feats = jnp.asarray(rng.standard_normal((b, c_in, f_in)
+                                                ).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((b, c_out, f_out)
+                                            ).astype(np.float32))
+        got = jax.device_get(jax.jit(
+            lambda f, m, gg: banded_conv_dw(f, m, gg))(feats, kmap, g))
+        want = jax.device_get(jax.jit(lambda f, m, gg: _conv_dkernel_gather(
+            f.astype(jnp.bfloat16).astype(jnp.float32), m,
+            gg.astype(jnp.bfloat16).astype(jnp.float32)))(feats, kmap, g))
+        err = np.max(np.abs(got - want))
+        scale = np.max(np.abs(want)) + 1e-9
+        assert err / scale < 3e-2, err / scale
