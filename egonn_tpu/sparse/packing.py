@@ -140,8 +140,10 @@ def sorted_unique(coords_t: jnp.ndarray | None, mask: jnp.ndarray | None,
     cheaper; EgoNN's features are constant 1 so the model never needs it) and
     permits coords_t=None (coords are then reconstructed from `keys`, which must
     be given).
-    assume_sorted=True skips the sort entirely (keys already ascending — true for
-    keys derived by halve_keys from a sorted parent level)."""
+    assume_sorted=True skips the sort entirely (caller promises keys are already
+    ascending).  NOTE: halve_keys output does NOT qualify — halving breaks the
+    lexicographic order (see halve_keys CAUTION); no production caller uses this
+    today."""
     if keys is None:
         keys = pack_keys(coords_t, mask, spec)
     n = keys.shape[0]
