@@ -53,6 +53,10 @@ LANES = 128
 MIN_N = 16384  # smallest supported instance: one full 128x128 T block
 
 PSORT = os.environ.get("EGONN_PSORT", "0") == "1"
+# Compare-exchange implementation: "reshape" pairs rows via a (C, 2, t, 128)
+# view (sub-8-row views may force Mosaic relayouts); "roll" pairs rows via two
+# whole-array sublane rolls + selects (more data movement, no odd views).
+CE_MODE = os.environ.get("EGONN_PSORT_CE", "reshape")
 
 
 def _bit_mask_normal(R: int, k: int) -> jnp.ndarray:
@@ -76,12 +80,8 @@ def _bit_mask_T(RT: int, k: int) -> jnp.ndarray:
     return ((row >> (k - 7)) & 1) == 1  # bits of g (trow // 128)
 
 
-def _ce(vs, t_rows: int, desc: jnp.ndarray):
-    """One compare-exchange pass at row-stride t_rows.
-
-    vs: list of (R, 128) int32 arrays — keys first, payloads after; swaps are
-    decided on the keys and applied to all.  desc: (R, 128) bool, True where
-    the element's bitonic block sorts descending (uniform across each pair)."""
+def _ce_reshape(vs, t_rows: int, desc: jnp.ndarray):
+    """Pair rows via a (C, 2, t, 128) view of the (R, 128) array."""
     R = vs[0].shape[0]
     C = R // (2 * t_rows)
 
@@ -101,6 +101,42 @@ def _ce(vs, t_rows: int, desc: jnp.ndarray):
             .reshape(R, LANES)
         )
     return outs
+
+
+def _ce_roll(vs, t_rows: int, desc: jnp.ndarray):
+    """Pair rows via two whole-array sublane rolls + selects (no odd views).
+
+    A row's partner is row XOR t: the lower ("a") half of each 2t-group reads
+    roll(-t), the upper half roll(+t).  Bitonic pairs never cross a 2t-aligned
+    group boundary, and the boundary rows select the in-range roll, so the
+    wrap-around garbage is never chosen."""
+    R = vs[0].shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+    a_half = ((row // t_rows) & 1) == 0
+    k = vs[0]
+    kp = jnp.where(a_half, jnp.roll(k, -t_rows, axis=0),
+                   jnp.roll(k, t_rows, axis=0))
+    # "a" of an ascending pair keeps the min; "b" keeps the max; flipped when
+    # the block sorts descending
+    take_min = a_half ^ desc
+    swap = jnp.where(take_min, k > kp, k < kp)
+    outs = []
+    for v in vs:
+        vp = jnp.where(a_half, jnp.roll(v, -t_rows, axis=0),
+                       jnp.roll(v, t_rows, axis=0))
+        outs.append(jnp.where(swap, vp, v))
+    return outs
+
+
+def _ce(vs, t_rows: int, desc: jnp.ndarray):
+    """One compare-exchange pass at row-stride t_rows.
+
+    vs: list of (R, 128) int32 arrays — keys first, payloads after; swaps are
+    decided on the keys and applied to all.  desc: (R, 128) bool, True where
+    the element's bitonic block sorts descending (uniform across each pair)."""
+    if CE_MODE == "roll":
+        return _ce_roll(vs, t_rows, desc)
+    return _ce_reshape(vs, t_rows, desc)
 
 
 def _transpose_blocks(v: jnp.ndarray) -> jnp.ndarray:

@@ -105,3 +105,25 @@ def test_pyramid_identical_with_psort_engine(monkeypatch):
         if la.kmap_self is not None:
             np.testing.assert_array_equal(np.asarray(la.kmap_self),
                                           np.asarray(lb.kmap_self))
+
+
+def test_roll_ce_matches_reshape_ce():
+    """The two compare-exchange implementations (EGONN_PSORT_CE) agree
+    pass-by-pass.  Tested outside the pallas interpreter (rolls are
+    pathologically slow under interpret; on-chip they lower natively) —
+    the kernel differs only in which _ce body runs."""
+    import egonn_tpu.sparse.bitonic as bm
+
+    rng = np.random.default_rng(6)
+    k = jnp.asarray(rng.integers(0, 2**30, size=(128, 128), dtype=np.int32))
+    p = jnp.asarray(np.arange(16384, dtype=np.int32).reshape(128, 128))
+    for t in [1, 2, 4, 8, 32, 64]:
+        stride_bit = t.bit_length() - 1 + 7  # element-index bit flipped at row-stride t
+        for kbit in [stride_bit + 1, stride_bit + 2, 13]:
+            if kbit <= stride_bit or kbit > 13:
+                continue  # the network always has direction bit k > stride bit j
+            desc = bm._bit_mask_normal(128, kbit)
+            a = bm._ce_reshape([k, p], t, desc)
+            b = bm._ce_roll([k, p], t, desc)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), (t, kbit)
