@@ -19,7 +19,6 @@ Prints exactly one JSON line.
 """
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -30,37 +29,12 @@ import numpy as np
 V100_BASELINE_CLOUDS_PER_SEC = 100.0  # roofline-derived; see BASELINE.md
 
 
-def _device_platform_or_cpu_fallback():
-    """Probe the default jax backend in a SUBPROCESS with a timeout.
-
-    The TPU here is reached through a tunnel that can go down mid-session; when
-    it does, any jax execution (even backend init) hangs indefinitely with no
-    error.  A hung bench is worse than a slow one, so: probe a tiny matmul in a
-    child process; on timeout/failure force the CPU backend for this process
-    (env vars don't override the tunnel's sitecustomize — jax.config does) and
-    report the platform honestly in the JSON line.
-    """
-    if os.environ.get("EGONN_BENCH_NO_PROBE"):
-        return None  # trust the default backend (skip the ~20 s probe)
-    probe = ("import jax, jax.numpy as jnp; "
-             "print(float(jax.jit(lambda a: a@a)(jnp.ones((128,128)))[0,0]), "
-             "jax.devices()[0].platform)")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=240,
-                           capture_output=True, text=True)
-        if r.returncode == 0:
-            return r.stdout.split()[-1].strip()
-    except subprocess.TimeoutExpired:
-        pass
-    print("WARNING: default jax backend unreachable (tunnel down?); "
-          "falling back to CPU", file=sys.stderr)
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    return "cpu"
-
-
 def main():
-    platform = _device_platform_or_cpu_fallback()
+    from egonn_tpu.utils.tunnel import platform_or_cpu_fallback
+
+    # a hung bench is worse than a slow one: probe the tunnel, fall back to
+    # CPU on failure, and report the platform honestly in the JSON line
+    platform = platform_or_cpu_fallback()
 
     import jax
     import jax.numpy as jnp

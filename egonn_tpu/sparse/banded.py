@@ -580,10 +580,18 @@ def banded_conv_dw(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray,
     f_out = g.shape[-1]
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return None
-    # unpacked width only (channel packing is a forward-table layout; dW reads
-    # the plain table)
-    subw = conv_sub_width(c_in, c_out, sub)
-    starts, rel, ok, active = band_layout_union(kmap, c_in, subw, tile, pack=1)
+    # Use the SAME window the forward compiled (conv_band_params) so the drop
+    # set matches exactly.  With channel packing the forward's window covers
+    # [start_p*pack, (start_p+sub_p)*pack) unpacked rows — derive the dW
+    # layout from the packed layout (starts are packed rows x pack; rel is
+    # already in unpacked units relative to start_p*pack, invalid = sub_p*pack)
+    # since dW reads the plain (unpacked) table.
+    pack, subw = conv_band_params(c_in, c_out, f_in, sub)
+    starts, rel, ok, active = band_layout_union(kmap, c_in, subw, tile,
+                                                pack=pack)
+    if pack > 1:
+        starts = starts * pack
+        subw = subw * pack
     feats_p = feats.astype(jnp.bfloat16)
     if f_in < 128:
         feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, 128 - f_in)))

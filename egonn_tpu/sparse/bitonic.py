@@ -29,9 +29,12 @@ where the T view is stored 2-D as (G*128, 128) with row index g*128 + trow.
 
 Capability notes: int32 only, non-negative keys (MAXKEY = 2^31-1 pads sort
 last), n is padded to a power of two >= 16384 (the T layout needs full 128x128
-blocks).  Optional int32 payloads ride the same swaps (NOT stable: equal keys
-may exchange payloads — fine for every engine use; the first-point-per-voxel
-path keeps lax.sort(is_stable=True)).
+blocks).  Optional int32 payloads ride the same swaps, and equal keys
+tie-break on the FIRST payload — i.e. with payloads the sort is the
+lexicographic (key, payload0) sort (equivalent to a stable key sort when
+payload0 is the row index).  The tie-break is also what keeps internal pads
+(key MAXKEY, payload 2^31-1) from displacing real MAXKEY-keyed pairs out of
+the [:n] output slice at non-power-of-two n.
 
 Replaces: XLA lax.sort in `packing.sorted_unique(need_index=False)` and the
 dedup chain's dual sorts (reference counterpart: ME's sparse_quantize /
@@ -91,7 +94,18 @@ def _ce_reshape(vs, t_rows: int, desc: jnp.ndarray):
     k4 = rs(vs[0])
     a, b = k4[:, 0], k4[:, 1]
     d = rs(desc)[:, 0]
-    swap = jnp.where(d, a < b, a > b)
+    gt, lt = a > b, a < b
+    if len(vs) > 1:
+        # lexicographic tie-break on the FIRST payload: makes the sort stable
+        # for unique payloads and — critically — orders real (MAXKEY, pos<n)
+        # entries before internal (MAXKEY, pad>=n) ones, so the kept slice is
+        # a permutation of the caller's pairs (see bitonic_sort pad note)
+        p4 = rs(vs[1])
+        pa, pb = p4[:, 0], p4[:, 1]
+        eq = a == b
+        gt = gt | (eq & (pa > pb))
+        lt = lt | (eq & (pa < pb))
+    swap = jnp.where(d, lt, gt)
     outs = []
     for v in vs:
         v4 = rs(v)
@@ -113,18 +127,27 @@ def _ce_roll(vs, t_rows: int, desc: jnp.ndarray):
     R = vs[0].shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     a_half = ((row // t_rows) & 1) == 0
+
+    def partner(v):
+        return jnp.where(a_half, jnp.roll(v, -t_rows, axis=0),
+                         jnp.roll(v, t_rows, axis=0))
+
     k = vs[0]
-    kp = jnp.where(a_half, jnp.roll(k, -t_rows, axis=0),
-                   jnp.roll(k, t_rows, axis=0))
+    kp = partner(k)
+    gt, lt = k > kp, k < kp
+    if len(vs) > 1:
+        p = vs[1]
+        pp = partner(p)
+        eq = k == kp
+        gt = gt | (eq & (p > pp))
+        lt = lt | (eq & (p < pp))
     # "a" of an ascending pair keeps the min; "b" keeps the max; flipped when
     # the block sorts descending
     take_min = a_half ^ desc
-    swap = jnp.where(take_min, k > kp, k < kp)
+    swap = jnp.where(take_min, gt, lt)
     outs = []
     for v in vs:
-        vp = jnp.where(a_half, jnp.roll(v, -t_rows, axis=0),
-                       jnp.roll(v, t_rows, axis=0))
-        outs.append(jnp.where(swap, vp, v))
+        outs.append(jnp.where(swap, partner(v), v))
     return outs
 
 
@@ -191,9 +214,11 @@ def _sort_call(keys3, payloads3, interpret=False):
 def bitonic_sort(keys: jnp.ndarray, *payloads: jnp.ndarray,
                  interpret: bool = False):
     """Ascending sort of int32 keys along the last axis, payloads permuted
-    alongside (not stable).  keys: (..., n) non-negative int32; pads are the
-    caller's problem only in that MAXKEY sorts last.  Internally pads n to a
-    power of two >= 16384.  Returns (keys, *payloads) sorted."""
+    alongside; equal keys order by the first payload (lexicographic
+    (key, payload0) sort — stable when payload0 is the row index).
+    keys: (..., n) non-negative int32; real payload values must be < 2^31-1
+    (the internal pad marker).  Internally pads n to a power of two >= 16384.
+    Returns (keys, *payloads) sorted."""
     shape = keys.shape
     n = shape[-1]
     n_pad = max(MIN_N, 1 << (n - 1).bit_length())
@@ -206,7 +231,12 @@ def bitonic_sort(keys: jnp.ndarray, *payloads: jnp.ndarray,
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n))
         k2 = jnp.pad(k2, pad, constant_values=2**31 - 1)
-        p2 = [jnp.pad(p, pad) for p in p2]
+        # pad payloads with int32 max: the compare-exchange tie-breaks equal
+        # keys on the first payload, so real (MAXKEY, payload) pairs sort
+        # strictly before internal pads and the [:n] slice returns exactly the
+        # caller's pairs (requires real payloads < 2^31-1, true for all engine
+        # uses — row indices)
+        p2 = [jnp.pad(p, pad, constant_values=2**31 - 1) for p in p2]
     k3 = k2.reshape(b, n_pad // LANES, LANES)
     p3 = [p.reshape(b, n_pad // LANES, LANES) for p in p2]
     res = _sort_call(k3, p3, interpret=interpret)

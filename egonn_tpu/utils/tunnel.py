@@ -1,0 +1,46 @@
+"""Backend liveness probe for the tunneled TPU.
+
+The TPU in this environment is reached through a tunnel that can go down
+mid-session; when it does, ANY jax execution on the default backend (even
+backend init) hangs indefinitely with no error.  Driver-facing entry points
+(bench.py, __graft_entry__.entry) probe a tiny matmul in a SUBPROCESS with a
+timeout and force the CPU backend on failure — a truthful slow run beats a
+hang.  Env vars cannot force CPU here (the tunnel's sitecustomize overrides
+them); the jax.config route before first backend touch is the only one that
+works.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PROBE = ("import jax, jax.numpy as jnp; "
+         "print(float(jax.jit(lambda a: a@a)(jnp.ones((128,128)))[0,0]), "
+         "jax.devices()[0].platform)")
+
+
+def platform_or_cpu_fallback(timeout: float = 240.0) -> str | None:
+    """Probe the default backend; on failure force CPU for this process.
+
+    Returns the probed platform name, "cpu" after a forced fallback, or None
+    when EGONN_BENCH_NO_PROBE is set (skip the ~20 s probe and trust the
+    default backend)."""
+    if os.environ.get("EGONN_BENCH_NO_PROBE"):
+        return None
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE], timeout=timeout,
+                           capture_output=True, text=True)
+        if r.returncode == 0:
+            return r.stdout.split()[-1].strip()
+    except subprocess.TimeoutExpired:
+        pass
+    print("WARNING: default jax backend unreachable (tunnel down?); "
+          "falling back to CPU", file=sys.stderr)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized in this process; nothing we can do
+    return "cpu"

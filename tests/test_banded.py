@@ -352,6 +352,31 @@ def test_banded_dw_matches_gather_backward(rng):
         assert err / scale < 3e-2, (lbl, err / scale)
 
 
+def test_banded_dw_packed_window_layout(rng, monkeypatch):
+    """With channel packing enabled, the dW layout derives from the forward's
+    PACKED window (same drop set); on fitting bands it still matches the exact
+    backward."""
+    import egonn_tpu.sparse.banded as bd
+    from egonn_tpu.sparse.banded import banded_conv_dw
+    from egonn_tpu.sparse.conv import _conv_dkernel_gather
+
+    monkeypatch.setattr(bd, "PACK_ENABLED", True)
+    pyr = _real_pyramid(rng)
+    kmap = pyr[1].kmap_self
+    c_in = pyr[1].coords.shape[-1]
+    f_in, f_out = 32, 16  # pack = 128 // 32 = 4
+    feats = jnp.asarray(rng.standard_normal((2, c_in, f_in)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, kmap.shape[-1], f_out)
+                                        ).astype(np.float32))
+    got = banded_conv_dw(feats, kmap, g, interpret=True)
+    want = _conv_dkernel_gather(
+        feats.astype(jnp.bfloat16).astype(jnp.float32), kmap,
+        g.astype(jnp.bfloat16).astype(jnp.float32))
+    err = float(jnp.max(jnp.abs(got - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert err / scale < 3e-2, err / scale
+
+
 def test_banded_dw_ineligible_returns_none(rng):
     from egonn_tpu.sparse.banded import banded_conv_dw
 

@@ -53,6 +53,25 @@ def test_duplicate_keys_keep_pairs_intact():
     assert len(set(ps.tolist())) == 16384
 
 
+def test_padded_maxkey_pairs_survive_the_slice():
+    """Regression: at non-power-of-two n with real MAXKEY-keyed entries
+    (exactly the dedup chain's (down_keys, fine_pos) sorts at capacities like
+    9856), internal pads must NOT displace real pairs from the [:n] output —
+    the payload tie-break guarantees the result is a permutation of the
+    inputs and matches the lexicographic lax.sort."""
+    rng = np.random.default_rng(7)
+    n, valid = 9856, 9000
+    k = np.full((1, n), 2**31 - 1, dtype=np.int32)
+    k[0, :valid] = rng.integers(0, 2**20, valid)
+    p = np.arange(n, dtype=np.int32).reshape(1, -1)
+    ks, ps = bitonic_sort(jnp.asarray(k), jnp.asarray(p), interpret=True)
+    ks, ps = np.asarray(ks)[0], np.asarray(ps)[0]
+    assert sorted(ps.tolist()) == list(range(n))  # sp IS a permutation
+    order = np.lexsort((p[0], k[0]))
+    np.testing.assert_array_equal(ks, k[0][order])
+    np.testing.assert_array_equal(ps, p[0][order])
+
+
 def test_vmap_batches_the_kernel():
     rng = np.random.default_rng(4)
     x = rng.integers(0, 2**30, size=(3, 16384), dtype=np.int32)
@@ -115,15 +134,19 @@ def test_roll_ce_matches_reshape_ce():
     import egonn_tpu.sparse.bitonic as bm
 
     rng = np.random.default_rng(6)
-    k = jnp.asarray(rng.integers(0, 2**30, size=(128, 128), dtype=np.int32))
-    p = jnp.asarray(np.arange(16384, dtype=np.int32).reshape(128, 128))
+    R = 256  # direction bits up to 15 exist, so even t=64 gets real coverage
+    k = jnp.asarray(rng.integers(0, 64, size=(R, 128), dtype=np.int32))  # many ties
+    p = jnp.asarray(np.arange(R * 128, dtype=np.int32).reshape(R, 128))
+    tested = 0
     for t in [1, 2, 4, 8, 32, 64]:
         stride_bit = t.bit_length() - 1 + 7  # element-index bit flipped at row-stride t
-        for kbit in [stride_bit + 1, stride_bit + 2, 13]:
-            if kbit <= stride_bit or kbit > 13:
+        for kbit in [stride_bit + 1, stride_bit + 2]:
+            if kbit > 14:
                 continue  # the network always has direction bit k > stride bit j
-            desc = bm._bit_mask_normal(128, kbit)
+            desc = bm._bit_mask_normal(R, kbit)
             a = bm._ce_reshape([k, p], t, desc)
             b = bm._ce_roll([k, p], t, desc)
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), (t, kbit)
+            tested += 1
+    assert tested >= 10  # every stride incl. t=64 actually exercised
