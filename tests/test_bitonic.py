@@ -41,8 +41,9 @@ def test_payload_follows_unique_keys():
 
 
 def test_duplicate_keys_keep_pairs_intact():
-    """With duplicate keys the sort is not stable, but the output must be a
-    permutation of the input (key, payload) PAIRS."""
+    """With duplicate keys the output must be a permutation of the input
+    (key, payload) PAIRS (and, with the payload tie-break, exactly the
+    lexicographic (key, payload) order)."""
     rng = np.random.default_rng(3)
     x = rng.integers(0, 512, size=(1, 16384), dtype=np.int32)
     p = np.arange(16384, dtype=np.int32).reshape(1, -1)
@@ -150,3 +151,27 @@ def test_roll_ce_matches_reshape_ce():
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), (t, kbit)
             tested += 1
     assert tested >= 10  # every stride incl. t=64 actually exercised
+
+
+def test_sorted_unique_first_point_with_psort(monkeypatch):
+    """need_index=True via the Pallas sorter keeps FIRST-point-per-voxel
+    semantics exactly (row-index tie-break == stable key sort)."""
+    import functools
+
+    import egonn_tpu.sparse.bitonic as bm
+    from egonn_tpu.sparse.packing import sorted_unique
+
+    rng = np.random.default_rng(8)
+    n, cap = 4096, 1024
+    coords = rng.integers(-40, 40, size=(3, n)).astype(np.int32)
+    coords[:, 2048:] = coords[:, :2048]  # guaranteed duplicates, later rows
+    mask = np.ones((n,), bool)
+
+    base = sorted_unique(jnp.asarray(coords), jnp.asarray(mask), cap)
+    monkeypatch.setattr(bm, "use_psort", lambda n: True)
+    monkeypatch.setattr(bm, "bitonic_sort",
+                        functools.partial(bitonic_sort, interpret=True))
+    alt = sorted_unique(jnp.asarray(coords), jnp.asarray(mask), cap)
+    np.testing.assert_array_equal(np.asarray(base.keys), np.asarray(alt.keys))
+    np.testing.assert_array_equal(np.asarray(base.index), np.asarray(alt.index))
+    np.testing.assert_array_equal(np.asarray(base.coords_t), np.asarray(alt.coords_t))
