@@ -96,7 +96,9 @@ def main():
     out = forward(variables, clouds, mask)
     _ = jax.device_get(out[0][:1, :1])
 
-    iters = 10
+    # measurement length is a noise knob: the tunnel adds variable dispatch
+    # latency, so short runs jitter; raise for A/B decisions
+    iters = int(os.environ.get("EGONN_BENCH_ITERS", "10"))
     variants = [
         jnp.asarray(np.asarray(clouds) + rng.normal(0, 0.01, clouds.shape).astype(np.float32))
         for _ in range(iters)

@@ -360,7 +360,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                 acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
                 if epi_relu:
                     acc = jnp.maximum(acc, 0.0)
-                vm = valid_ref[0, 0, :].reshape(tile, 1)
+                vm = valid_ref[0, 0, 0, :].reshape(tile, 1)
                 acc = jnp.where(vm != 0, acc, 0.0)
             out_ref[0, 0] = acc
 
@@ -383,10 +383,14 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     if has_epi:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (2, F_out) affine epilogue
-            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, ti, 0),
+            # validity rides 4D (B, T, 1, tile) so the (1, 1, 1, tile) block
+            # satisfies Mosaic's last-two-dims tiling rule (dim -2 equals the
+            # array dim; a (1, 1, tile) block over (B, T, tile) is rejected)
+            pl.BlockSpec((1, 1, 1, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),  # row validity
         ]
-        operands += [epi_sb.astype(jnp.float32), epi_valid.astype(jnp.int32)]
+        operands += [epi_sb.astype(jnp.float32),
+                     epi_valid.astype(jnp.int32)[:, :, None, :]]
     return pl.pallas_call(
         body,
         grid=(b, t),
@@ -1113,7 +1117,7 @@ def _pallas_stem_lut(aligned: jnp.ndarray, tables: jnp.ndarray,
             acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
             if epi_relu:
                 acc = jnp.maximum(acc, 0.0)
-            vm = valid_ref[0, 0, :].reshape(tile, 1)
+            vm = valid_ref[0, 0, 0, :].reshape(tile, 1)
             acc = jnp.where(vm != 0, acc, 0.0)
         out_ref[0, 0] = acc
 
@@ -1126,10 +1130,12 @@ def _pallas_stem_lut(aligned: jnp.ndarray, tables: jnp.ndarray,
     if has_epi:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (2, F_out) affine
-            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, ti, 0),
+            # 4D validity for the tiling rule — see _pallas_banded_conv
+            pl.BlockSpec((1, 1, 1, tile), lambda bi, ti: (bi, ti, 0, 0),
                          memory_space=pltpu.VMEM),  # row validity
         ]
-        operands += [epi_sb.astype(jnp.float32), epi_valid.astype(jnp.int32)]
+        operands += [epi_sb.astype(jnp.float32),
+                     epi_valid.astype(jnp.int32)[:, :, None, :]]
     return pl.pallas_call(
         body,
         grid=(b, t),

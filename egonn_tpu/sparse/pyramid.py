@@ -166,11 +166,15 @@ def _use_banded_lookup() -> bool:
 
 def _use_stem_bits() -> bool:
     """All-ones stems consume packed presence bit-fields (Level.stem_bits)
-    through the LUT conv instead of an unpacked kernel map.  EGONN_STEM_LUT=0
-    restores the unpacked kmap + sparse_conv_ones path."""
+    through the LUT conv instead of an unpacked kernel map.  EGONN_STEM_LUT=1
+    enables it; the default is the unpacked kmap + sparse_conv_ones path —
+    the on-chip A/B (round 3) measured the LUT consistently SLOWER end-to-end
+    (320 vs 365 clouds/s): the 125 per-column one-hot (tile, 32) matmuls are
+    too skinny for the MXU and the saved kmap traffic overlaps with compute
+    anyway."""
     import os
 
-    return os.environ.get("EGONN_STEM_LUT", "1") == "1"
+    return os.environ.get("EGONN_STEM_LUT", "0") == "1"
 
 
 def _zrun_queries(coords_t: jnp.ndarray, mask: jnp.ndarray,
