@@ -63,24 +63,28 @@ CE_MODE = os.environ.get("EGONN_PSORT_CE", "reshape")
 
 
 def _bit_mask_normal(R: int, k: int) -> jnp.ndarray:
-    """(R, 128) bool: bit k of the element index i = row*128 + lane."""
+    """(R, 128) int32 0/1: bit k of the element index i = row*128 + lane.
+
+    int32 (not bool): Mosaic promotes i1-vector logical ops through i8 and the
+    i8->i1 trunci is unsupported on hardware — masks stay integer and only
+    compares (which produce i1 feeding a select directly) make booleans."""
     if k <= 6:
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-        return ((lane >> k) & 1) == 1
+        return (lane >> k) & 1
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-    return ((row >> (k - 7)) & 1) == 1
+    return (row >> (k - 7)) & 1
 
 
 def _bit_mask_T(RT: int, k: int) -> jnp.ndarray:
-    """(RT, 128) bool: bit k of i in the transposed layout (see module doc)."""
+    """(RT, 128) int32 0/1: bit k of i in the transposed layout (module doc)."""
     if k <= 6:
         row = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0)
-        return ((row >> k) & 1) == 1  # bits of the original lane (trow % 128)
+        return (row >> k) & 1  # bits of the original lane (trow % 128)
     if k <= 13:
         lane = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 1)
-        return ((lane >> (k - 7)) & 1) == 1  # bits of the original row % 128
+        return (lane >> (k - 7)) & 1  # bits of the original row % 128
     row = jax.lax.broadcasted_iota(jnp.int32, (RT, LANES), 0)
-    return ((row >> (k - 7)) & 1) == 1  # bits of g (trow // 128)
+    return (row >> (k - 7)) & 1  # bits of g (trow // 128)
 
 
 def _ce_reshape(vs, t_rows: int, desc: jnp.ndarray):
@@ -93,8 +97,10 @@ def _ce_reshape(vs, t_rows: int, desc: jnp.ndarray):
 
     k4 = rs(vs[0])
     a, b = k4[:, 0], k4[:, 1]
-    d = rs(desc)[:, 0]
-    gt, lt = a > b, a < b
+    d = rs(desc)[:, 0]  # int32 0/1
+    one, zero = jnp.int32(1), jnp.int32(0)
+    gt = jnp.where(a > b, one, zero)
+    lt = jnp.where(a < b, one, zero)
     if len(vs) > 1:
         # lexicographic tie-break on the FIRST payload: makes the sort stable
         # for unique payloads and — critically — orders real (MAXKEY, pos<n)
@@ -102,10 +108,11 @@ def _ce_reshape(vs, t_rows: int, desc: jnp.ndarray):
         # a permutation of the caller's pairs (see bitonic_sort pad note)
         p4 = rs(vs[1])
         pa, pb = p4[:, 0], p4[:, 1]
-        eq = a == b
-        gt = gt | (eq & (pa > pb))
-        lt = lt | (eq & (pa < pb))
-    swap = jnp.where(d, lt, gt)
+        eq = jnp.where(a == b, one, zero)
+        gt = gt | (eq & jnp.where(pa > pb, one, zero))
+        lt = lt | (eq & jnp.where(pa < pb, one, zero))
+    # int32-select of int32 masks: no i1-vector logical ops reach Mosaic
+    swap = jnp.where(d == 1, lt, gt) == 1
     outs = []
     for v in vs:
         v4 = rs(v)
@@ -126,25 +133,29 @@ def _ce_roll(vs, t_rows: int, desc: jnp.ndarray):
     wrap-around garbage is never chosen."""
     R = vs[0].shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
-    a_half = ((row // t_rows) & 1) == 0
+    b_half = (row // t_rows) & 1  # int32: 0 = lower ("a") half, 1 = upper
+    a_half = b_half == 0
 
     def partner(v):
         return jnp.where(a_half, jnp.roll(v, -t_rows, axis=0),
                          jnp.roll(v, t_rows, axis=0))
 
+    one, zero = jnp.int32(1), jnp.int32(0)
     k = vs[0]
     kp = partner(k)
-    gt, lt = k > kp, k < kp
+    gt = jnp.where(k > kp, one, zero)
+    lt = jnp.where(k < kp, one, zero)
     if len(vs) > 1:
         p = vs[1]
         pp = partner(p)
-        eq = k == kp
-        gt = gt | (eq & (p > pp))
-        lt = lt | (eq & (p < pp))
+        eq = jnp.where(k == kp, one, zero)
+        gt = gt | (eq & jnp.where(p > pp, one, zero))
+        lt = lt | (eq & jnp.where(p < pp, one, zero))
     # "a" of an ascending pair keeps the min; "b" keeps the max; flipped when
-    # the block sorts descending
-    take_min = a_half ^ desc
-    swap = jnp.where(take_min, gt, lt)
+    # the block sorts descending.  int32 xor (i1 xor promotes through i8 in
+    # Mosaic and the trunci back is unsupported on hardware).
+    take_min = ((1 - b_half) ^ desc) == 1
+    swap = jnp.where(take_min, gt, lt) == 1
     outs = []
     for v in vs:
         outs.append(jnp.where(swap, partner(v), v))
@@ -155,7 +166,7 @@ def _ce(vs, t_rows: int, desc: jnp.ndarray):
     """One compare-exchange pass at row-stride t_rows.
 
     vs: list of (R, 128) int32 arrays — keys first, payloads after; swaps are
-    decided on the keys and applied to all.  desc: (R, 128) bool, True where
+    decided on the keys and applied to all.  desc: (R, 128) int32 0/1, 1 where
     the element's bitonic block sorts descending (uniform across each pair)."""
     if CE_MODE == "roll":
         return _ce_roll(vs, t_rows, desc)
