@@ -68,42 +68,52 @@ def main():
         res = quant(c, m)
         return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
 
-    pyr = jax.jit(mk_pyr)(clouds, mask)
+    mk_pyr_j = jax.jit(mk_pyr)
+    pyr = mk_pyr_j(clouds, mask)
     variables = jax.jit(lambda k, p: model.init(k, p, quantizer, train=False))(
         jax.random.PRNGKey(0), pyr)
 
+    def pyr_checksum(p):
+        # depends on EVERY pyramid leaf (coords, masks, kernel maps, up maps,
+        # stem bits) so XLA cannot dead-code-eliminate the map construction
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(p))
+
     slices = {
         "quantize": jax.jit(lambda c, m: quant(c, m).keys),
-        "pyramid": jax.jit(lambda c, m: mk_pyr(c, m).levels[-1].keys),
-        "forward": jax.jit(lambda c, m: model.apply(
-            variables, mk_pyr(c, m), quantizer, train=False)["global"]),
+        "pyramid": jax.jit(lambda c, m: pyr_checksum(mk_pyr(c, m))),
+        # exactly bench.py's measured quantity: (global, sigma) keeps both heads live
+        "forward": jax.jit(lambda c, m: (lambda y: (y["global"], y["sigma"]))(
+            model.apply(variables, mk_pyr(c, m), quantizer, train=False))),
     }
 
     variants = [jnp.asarray(clouds_np()) for _ in range(iters)]
     _ = jax.device_get(variants[-1][:1, :1])
 
+    def force(y):
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        return jax.device_get(jnp.ravel(leaf)[:1])
+
     out = {}
     for name, fn in slices.items():
         if only and name not in only:
             continue
-        y = fn(variants[0], mask)
-        _ = jax.device_get(jnp.ravel(y)[:1])
+        _ = force(fn(variants[0], mask))
         t0 = time.perf_counter()
         for v in variants:
             y = fn(v, mask)
-        _ = jax.device_get(jnp.ravel(y)[:1])
+        _ = force(y)
         out[name] = (time.perf_counter() - t0) / iters * 1e3
 
     # model_only: prebuild iters pyramids, then time apply alone
     if only is None or "model_only" in only:
-        pyrs = [jax.jit(mk_pyr)(v, mask) for v in variants]
-        app = jax.jit(lambda p: model.apply(variables, p, quantizer, train=False)["global"])
-        y = app(pyrs[0])
-        _ = jax.device_get(y[:1, :1])
+        pyrs = [mk_pyr_j(v, mask) for v in variants]
+        app = jax.jit(lambda p: (lambda y: (y["global"], y["sigma"]))(
+            model.apply(variables, p, quantizer, train=False)))
+        _ = force(app(pyrs[0]))
         t0 = time.perf_counter()
         for p in pyrs:
             y = app(p)
-        _ = jax.device_get(y[:1, :1])
+        _ = force(y)
         out["model_only"] = (time.perf_counter() - t0) / iters * 1e3
 
     print(json.dumps({"platform": platform, "batch": b, "iters": iters,
