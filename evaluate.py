@@ -73,7 +73,15 @@ def main():
             built, model=built.model.clone(ignore_keypoint_regressor=True))
         print("Ignore keypoints regressor: True")
 
-    if args.weights:
+    if args.weights and args.weights.endswith((".pth", ".pt")):
+        # reference torch checkpoint (README.md:122-125): convert transparently
+        # so `evaluate.py --weights model_egonn_20210916_1104.pth` is the
+        # one-command parity check
+        from egonn_tpu.utils.checkpoint_convert import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(args.weights)
+        print(f"Converted reference torch checkpoint {args.weights}")
+    elif args.weights:
         state, step = load_checkpoint(args.weights)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         print(f"Loaded checkpoint step {step} from {args.weights}")

@@ -16,9 +16,53 @@ from egonn_tpu.utils.checkpoint_convert import (
 
 
 def test_offset_permutation_is_permutation():
-    for k in (2, 3, 5):
+    for k in (2, 3, 4, 5):
         p = me_offset_permutation(k)
         assert sorted(p.tolist()) == list(range(k**3))
+
+
+def me_region_offsets(kernel_size):
+    """Golden fixture: MinkowskiEngine's kernel-offset enumeration, transcribed
+    INDEPENDENTLY of me_offset_permutation from ME's documented region
+    semantics (so a wrong index-arithmetic assumption in the converter fails
+    the test below rather than being self-consistent):
+
+    * odd k — the C++ HYPER_CUBE region iterator (ME kernel_region.hpp) walks
+      the centered cube [-r, r]^3 from its lower bound, incrementing the FIRST
+      spatial coordinate and carrying into the later ones: x fastest;
+    * even k — offsets span [0, k)^3 and are enumerated with the LAST
+      coordinate fastest (z fastest).  Even kernel sizes do not take the
+      centered C++ cube walk; torchsparse's ME weight-layout compatibility
+      shim (torchsparse/nn/utils/kernel.py get_kernel_offsets) pins exactly
+      this parity split: odd volume -> x fastest, even -> z fastest.
+    """
+    k = kernel_size
+    if k % 2 == 1:
+        r = k // 2
+        return [(dx, dy, dz)
+                for dz in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+                for dx in range(-r, r + 1)]   # x innermost = fastest
+    return [(dx, dy, dz)
+            for dx in range(k)
+            for dy in range(k)
+            for dz in range(k)]               # z innermost = fastest
+
+
+def test_me_offset_permutation_matches_documented_enumeration():
+    """ours[j] = theirs[p[j]] must hold offset-wise against the golden ME
+    enumeration, for odd AND even kernels (k=2 covers every stride-2
+    conv/tconv in EgoNN; k=5 covers conv0)."""
+    from egonn_tpu.sparse.pyramid import kernel_offsets
+
+    for k in (2, 3, 4, 5):
+        me = me_region_offsets(k)
+        ours = kernel_offsets(k)
+        p = me_offset_permutation(k)
+        for j in range(k**3):
+            assert tuple(ours[j]) == me[p[j]], (
+                f"k={k} slot {j}: our offset {tuple(ours[j])} "
+                f"!= ME offset {me[p[j]]} at ME slot {p[j]}")
 
 
 def test_offset_permutation_k3_known_entries():
@@ -137,6 +181,39 @@ def test_convert_roundtrip(egonn_vars):
                                    err_msg=key)
 
 
+def test_pth_load_and_apply_matches(egonn_vars, tmp_path):
+    """One-command .pth path: torch.save a reference-style state_dict, load it
+    through load_reference_checkpoint (the evaluate.py --weights *.pth route),
+    and require model.apply under the converted tree to match the original
+    variables bit-for-bit (catches structural mismatches the pytree comparison
+    in test_convert_roundtrip would miss, e.g. extra keys flax rejects)."""
+    torch = pytest.importorskip("torch")
+
+    built, variables = egonn_vars
+    sd = _inverse_state_dict(variables)
+    path = tmp_path / "synthetic_egonn.pth"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+               path)
+
+    from egonn_tpu.utils.checkpoint_convert import load_reference_checkpoint
+    converted = load_reference_checkpoint(str(path))
+
+    rng = np.random.default_rng(3)
+    cap = 256
+    coords = np.zeros((1, 3, cap), np.int32)
+    coords[0] = rng.integers(0, 40, (3, cap))
+    mask = np.ones((1, cap), bool)
+    from egonn_tpu.sparse.pyramid import build_pyramid
+    pyr = jax.jit(lambda c, m: build_pyramid(c, m, built.pyramid_spec))(
+        jnp.asarray(coords), jnp.asarray(mask))
+
+    y_ref = built.model.apply(variables, pyr, built.quantizer, train=False)
+    y_conv = built.model.apply(converted, pyr, built.quantizer, train=False)
+    for key in ("global", "sigma"):
+        np.testing.assert_array_equal(np.asarray(y_ref[key]), np.asarray(y_conv[key]),
+                                      err_msg=key)
+
+
 def test_me_slot_semantics_directional():
     """Pin the ME kernel-slot enumeration to actual spatial behavior.
 
@@ -189,3 +266,52 @@ def test_me_slot_semantics_directional():
     np.testing.assert_allclose(out[0, a], w_center + w_px + w_pz, atol=1e-6)
     np.testing.assert_allclose(out[0, b], w_center, atol=1e-6)  # A is at -x
     np.testing.assert_allclose(out[0, c], w_center, atol=1e-6)  # A is at -z
+
+
+def test_me_even_kernel_slots_directional():
+    """Even-kernel (k=2 s=2) converted weights must act on the documented
+    child offsets, end-to-end through the pyramid's down map.
+
+    ME enumerates even kernels z-fastest ([0,2)^3 C-order — see
+    me_region_offsets), so the converter must NOT apply the odd-kernel
+    x-fastest permutation: slots (0,0,1)->1 and (1,1,0)->6.  A converter that
+    (wrongly) transposed even kernels would route both marker rows to child
+    offsets that do not exist here and produce zeros.
+    """
+    from egonn_tpu.sparse.conv import sparse_conv
+    from egonn_tpu.sparse.pyramid import PyramidSpec, build_pyramid
+    from egonn_tpu.utils.checkpoint_convert import _conv
+
+    f_in, f_out, cap = 2, 4, 128
+    # children A=(4,6,7) and B=(5,7,6) share parent (2,3,3) at child offsets
+    # (0,0,1) -> ME/our slot 1 and (1,1,0) -> ME/our slot 6
+    coords = np.zeros((1, 3, cap), np.int32)
+    coords[0, :, 0] = (4, 6, 7)
+    coords[0, :, 1] = (5, 7, 6)
+    mask = np.zeros((1, cap), bool)
+    mask[0, :2] = True
+
+    w_a = np.array([3.0, 0, 1, 0], np.float32)
+    w_b = np.array([0, 5.0, 0, 2], np.float32)
+    me_kernel = np.zeros((8, f_in, f_out), np.float32)
+    me_kernel[1, 0] = w_a   # ME slot of (0,0,1), applied to input channel 0
+    me_kernel[6, 1] = w_b   # ME slot of (1,1,0), applied to input channel 1
+    ours = _conv({"kernel": me_kernel}, "kernel", 2)
+
+    spec = PyramidSpec(capacities=(cap, cap), conv0_kernel_size=5,
+                       self_levels=(), up_levels=(), need_source_index=True)
+    pyr = build_pyramid(jnp.asarray(coords), jnp.asarray(mask), spec)
+
+    # one-hot input features per child, on the key-sorted level-0 rows
+    l0 = np.asarray(pyr[0].coords[0]).T
+    feats = np.zeros((1, cap, f_in), np.float32)
+    rows = {tuple(c): i for i, c in enumerate(l0[:2])}
+    feats[0, rows[(4, 6, 7)], 0] = 1.0
+    feats[0, rows[(5, 7, 6)], 1] = 1.0
+
+    out = np.asarray(sparse_conv(jnp.asarray(feats), pyr[1].kmap_down,
+                                 jnp.asarray(ours)))
+    l1 = np.asarray(pyr[1].coords[0]).T
+    n1 = int(np.asarray(pyr[1].mask[0]).sum())
+    assert n1 == 1 and tuple(l1[0]) == (2, 3, 3)
+    np.testing.assert_allclose(out[0, 0], w_a + w_b, atol=1e-6)
