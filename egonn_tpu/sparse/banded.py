@@ -62,6 +62,42 @@ DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
 DEFAULT_TILE = 128
 
+# ---------------------------------------------------------------------------
+# Band-width calibration (sparse/calibrate.py).  The hardcoded widths above
+# were sized from synthetic LiDAR probes; denser real-world clouds can exceed
+# them, falling into drop-and-report.  A calibration pass measures the actual
+# required width per kernel on a data sample and overrides the defaults here.
+# Keys: "conv:{c_in}:{c_out}" (banded conv sub), "zrun:{c}:{kz}" (zrun compare
+# width), "lookup:{c}" (banded_lookup compare width).  Values are final
+# compare widths (already rounded/margined by the calibrator).  Loaded from
+# EGONN_BAND_CALIB=<path.json> or set programmatically.
+_CALIBRATION: dict = {}
+
+
+def set_band_calibration(table) -> None:
+    """Install a calibration table (e.g. from sparse/calibrate.py); None/{}
+    clears it back to the hardcoded defaults."""
+    global _CALIBRATION
+    _CALIBRATION = {str(k): int(v) for k, v in (table or {}).items()}
+
+
+def get_band_calibration() -> dict:
+    return dict(_CALIBRATION)
+
+
+def _calibrated(key: str, default: int) -> int:
+    return _CALIBRATION.get(key, default)
+
+
+_calib_path = os.environ.get("EGONN_BAND_CALIB")
+if _calib_path and os.path.exists(_calib_path):
+    import json as _json
+
+    with open(_calib_path) as _f:
+        set_band_calibration(_json.load(_f))
+    del _f
+del _calib_path
+
 
 def _plain_gather_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray
                        ) -> jnp.ndarray:
@@ -85,7 +121,7 @@ def _plain_gather_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarra
     return acc
 
 
-def conv_sub_width(c_in: int, c_out: int, sub: int = DEFAULT_SUB) -> int:
+def conv_sub_width(c_in: int, c_out: int, sub: int | None = None) -> int:
     """The banded conv kernel's compare width for a given map shape.  Must be
     used by both banded_conv_pallas and the band-fit reporting so the health
     checks audit the width actually compiled.
@@ -101,12 +137,20 @@ def conv_sub_width(c_in: int, c_out: int, sub: int = DEFAULT_SUB) -> int:
     starts, cutting the dominant VPU one-hot build cost 33% vs 384.  Overflow
     on denser data degrades to drop-and-report (band_ok flags at
     train/eval/bench surface it; EGONN_BANDED_FALLBACK=1 restores exact
-    lax.cond fallbacks)."""
+    lax.cond fallbacks).
+
+    A calibration table (set_band_calibration / EGONN_BAND_CALIB) overrides
+    both DEFAULTS with widths measured on real data; an explicitly passed
+    `sub` always wins (measurement/A-B callers)."""
+    explicit = sub is not None
+    sub = sub if explicit else DEFAULT_SUB
     sub = max(sub, 1024) if c_in > c_out else min(sub, 256)
+    if not explicit:
+        sub = _calibrated(f"conv:{c_in}:{c_out}", sub)
     return min(sub, c_in)  # small tables: the sub-window IS the table
 
 
-def conv_band_params(c_in: int, c_out: int, f_in: int, sub: int = DEFAULT_SUB
+def conv_band_params(c_in: int, c_out: int, f_in: int, sub: int | None = None
                      ) -> tuple:
     """(pack, sub) actually compiled by the banded conv for this map + channel
     shape.
@@ -403,7 +447,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
 
 
 def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
-                       kernel: jnp.ndarray, sub: int = DEFAULT_SUB,
+                       kernel: jnp.ndarray, sub: int | None = None,
                        tile: int = DEFAULT_TILE,
                        epi: tuple | None = None,
                        interpret: bool = False) -> jnp.ndarray:
@@ -728,7 +772,7 @@ def _band_prepass(sorted_keys: jnp.ndarray, q_first: jnp.ndarray,
 
 
 def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
-                  sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+                  sub: int | None = None, tile: int = DEFAULT_TILE,
                   stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """Find positions of `queries` in per-cloud MAXKEY-padded sorted key arrays.
 
@@ -740,6 +784,8 @@ def banded_lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
     128-stride boundary keys.
     """
     b, c_in = sorted_keys.shape
+    if sub is None:
+        sub = min(_calibrated(f"lookup:{c_in}", DEFAULT_SUB), c_in)
     _, k_vol, c_out = queries.shape
     assert c_out % tile == 0
     t = c_out // tile
@@ -871,7 +917,7 @@ def _pallas_zrun_presence(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
 
 def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
-                  sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+                  sub: int | None = None, tile: int = DEFAULT_TILE,
                   stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """Presence bits of [q, q+kz) for each base query in per-cloud sorted keys.
 
@@ -880,6 +926,8 @@ def zrun_presence(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     caller must use a fallback — this function does NOT cond internally
     because the fallback shape differs per use."""
     b, c_in = sorted_keys.shape
+    if sub is None:
+        sub = min(_calibrated(f"zrun:{c_in}:{kz}", DEFAULT_SUB), c_in)
     _, kxy, c_out = q_lo.shape
     assert c_out % tile == 0
     t = c_out // tile
@@ -1004,13 +1052,15 @@ def _pallas_zrun_rank(q_lo_t: jnp.ndarray, rows: jnp.ndarray,
 
 
 def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
-              sub: int = DEFAULT_SUB, tile: int = DEFAULT_TILE,
+              sub: int | None = None, tile: int = DEFAULT_TILE,
               stride: int = DEFAULT_STRIDE, interpret: bool = False):
     """(bits, rank, ok) for z-run base queries — see _pallas_zrun_rank.
 
     sorted_keys (B, C_in); q_lo (B, Kxy, C_out) int32 (MAXKEY invalid).
     bits/rank (B, Kxy, C_out) int32."""
     b, c_in = sorted_keys.shape
+    if sub is None:
+        sub = min(_calibrated(f"zrun:{c_in}:{kz}", DEFAULT_SUB), c_in)
     _, kxy, c_out = q_lo.shape
     assert c_out % tile == 0
     t = c_out // tile
@@ -1179,12 +1229,14 @@ def stem_lut_conv(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int,
 
 
 def zrun_fit(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
-             sub: int = DEFAULT_SUB, stride: int = DEFAULT_STRIDE,
+             sub: int | None = None, stride: int = DEFAULT_STRIDE,
              tile: int = DEFAULT_TILE):
     """Band-fit flag for a zrun presence/rank call WITHOUT running the kernel:
     the same gather-free prepass zrun_presence/zrun_rank run internally.
     Returns a () bool (traced)."""
     b, c_in = sorted_keys.shape
+    if sub is None:
+        sub = min(_calibrated(f"zrun:{c_in}:{kz}", DEFAULT_SUB), c_in)
     _, kxy, c_out = q_lo.shape
     if c_out % tile != 0:
         return jnp.bool_(True)  # banded path unused at this shape

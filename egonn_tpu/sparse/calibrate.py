@@ -1,0 +1,187 @@
+"""Band-width calibration for the banded sparse engine.
+
+The banded kernels (sparse/banded.py) compare each output tile's queries
+against a fixed-width window of the sorted voxel table.  The shipped widths
+(256 self / 1024 down / 384 zrun-lookup) were sized from synthetic LiDAR
+probes; denser clouds can exceed them, in which case out-of-window neighbors
+are dropped (drop-and-report policy — correct but lossy, surfaced by the
+band_ok flags at train/eval/bench).
+
+This module closes that loop: measure the width each banded kernel ACTUALLY
+needs on a sample of real data, add a safety margin, and install the result
+as a calibration table (banded.set_band_calibration / EGONN_BAND_CALIB json)
+that every kernel and every band-fit audit then uses.  The intended flow —
+cached per dataset + config, mirroring how the reference sizes nothing
+because MinkowskiEngine's hash maps are unbounded:
+
+    table = calibrate_from_clouds(clouds, masks, quantizer, spec)   # once
+    save_calibration(table, path)                                    # cache
+    EGONN_BAND_CALIB=path python train.py / evaluate.py ...          # use
+
+Requirement semantics mirror the fit flags exactly:
+* conv bands (band_layout_union): fit iff hi - 16-aligned(lo) < sub, so the
+  required width is max(hi - aligned_lo) + 1 over valid (batch, offset, tile)
+  cells, for the forward AND offset-reversed (backward) maps.
+* zrun / lookup bands (_band_prepass): fit iff (row_last - row_first) *
+  stride + stride <= sub, so the requirement is the max of that expression.
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterable
+
+import jax
+import jax.numpy as jnp
+
+from egonn_tpu.sparse.banded import DEFAULT_STRIDE, DEFAULT_TILE
+
+
+def _conv_requirement(kmap: jnp.ndarray, c_in: int, tile: int = DEFAULT_TILE
+                      ) -> jnp.ndarray:
+    """Required conv sub-width for this kernel map: the smallest `sub` for
+    which band_layout_union reports ok (ignoring the end-of-table clip, which
+    only ever relaxes the requirement)."""
+    b, k, c_out = kmap.shape
+    if c_out % tile != 0:
+        return jnp.int32(0)  # banded path unused at this shape
+    km = kmap.reshape(b, k, c_out // tile, tile)
+    valid = km < c_in
+    big = jnp.int32(2**30)
+    lo = jnp.min(jnp.where(valid, km, big), axis=-1)
+    hi = jnp.max(jnp.where(valid, km, -1), axis=-1)
+    any_k = jnp.any(valid, axis=-1)
+    start = (lo // 16) * 16
+    return jnp.max(jnp.where(any_k, hi - start + 1, 0)).astype(jnp.int32)
+
+
+def _prepass_requirement(sorted_keys: jnp.ndarray, q_first: jnp.ndarray,
+                         q_last: jnp.ndarray, any_valid: jnp.ndarray,
+                         stride: int = DEFAULT_STRIDE) -> jnp.ndarray:
+    """Required zrun/lookup compare width under _band_prepass semantics."""
+    boundaries = sorted_keys[:, ::stride]
+    r = boundaries.shape[1]
+    cnt_first = jnp.sum(boundaries[:, None, None, :] <= q_first[..., None],
+                        axis=-1).astype(jnp.int32)
+    cnt_last = jnp.sum(boundaries[:, None, None, :] <= q_last[..., None],
+                       axis=-1).astype(jnp.int32)
+    row_first = jnp.clip(cnt_first - 1, 0, r - 1)
+    row_last = jnp.clip(cnt_last - 1, 0, r - 1)
+    req = (row_last - row_first) * stride + stride
+    return jnp.max(jnp.where(any_valid, req, 0)).astype(jnp.int32)
+
+
+def _zrun_requirement(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
+                      tile: int = DEFAULT_TILE) -> jnp.ndarray:
+    b, c_in = sorted_keys.shape
+    _, kxy, c_out = q_lo.shape
+    if c_out % tile != 0:
+        return jnp.int32(0)
+    maxkey = jnp.int32(2**31 - 1)
+    q4 = q_lo.reshape(b, kxy, c_out // tile, tile)
+    valid = q4 != maxkey
+    q_first = jnp.min(jnp.where(valid, q4, maxkey), axis=-1)
+    q_last = jnp.max(jnp.where(valid, q4 + (kz - 1), -1), axis=-1)
+    any_valid = jnp.any(valid, axis=-1)
+    return _prepass_requirement(sorted_keys, q_first, q_last, any_valid)
+
+
+def band_requirements_traced(pyramid, spec) -> Dict[str, jnp.ndarray]:
+    """Required band widths for every banded kernel a forward/backward pass
+    runs on this pyramid — the same enumeration as banded.band_fit_report,
+    but returning the needed width instead of an ok flag at the current one.
+    Keys are calibration-table keys (banded._calibrated)."""
+    from egonn_tpu.sparse.packing import pack_keys
+    from egonn_tpu.sparse.pyramid import _xy_offsets, _zrun_queries
+
+    req: Dict[str, jnp.ndarray] = {}
+
+    def _acc(key, value):
+        req[key] = jnp.maximum(req[key], value) if key in req else value
+
+    for l in range(spec.num_levels + 1):
+        lvl = pyramid[l]
+        if lvl.kmap_self is not None and not (l == 0 and spec.conv0_ones):
+            cs = spec.capacities[l]
+            _acc(f"conv:{cs}:{cs}",
+                 jnp.maximum(_conv_requirement(lvl.kmap_self, cs),
+                             _conv_requirement(lvl.kmap_self[:, ::-1, :], cs)))
+        if lvl.kmap_down is not None:
+            cd = spec.capacities[l - 1]
+            _acc(f"conv:{cd}:{spec.capacities[l]}",
+                 _conv_requirement(lvl.kmap_down, cd))
+        # zrun requirements are computed regardless of whether THIS platform
+        # uses the banded lookup (it is TPU-only): a table calibrated on CPU
+        # must still carry the zrun widths the TPU run will need
+        if (lvl.kmap_self is not None or lvl.stem_bits is not None) \
+                and spec.capacities[l] % 128 == 0:
+            k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
+            pack_l = spec.pack_at(l)
+            keys_l = jax.vmap(lambda c, m: pack_keys(c, m, pack_l))(
+                lvl.coords, lvl.mask)
+            q_lo, _, _ = jax.vmap(
+                lambda c, m: _zrun_queries(c, m, _xy_offsets(k), k, -(k // 2),
+                                           pack_l)
+            )(lvl.coords, lvl.mask)
+            _acc(f"zrun:{spec.capacities[l]}:{k}",
+                 _zrun_requirement(keys_l, q_lo, kz=k))
+    return req
+
+
+def finalize_table(measured: Dict[str, int], margin: float = 1.25,
+                   quantum: int = 128) -> Dict[str, int]:
+    """Measured requirements -> installable calibration table: apply the
+    safety margin (density can exceed the calibration sample's), round up to
+    the lane quantum, and floor at one window stride.  Entries whose sample
+    never exercised the kernel (requirement 0) are omitted."""
+    table = {}
+    for key, req in measured.items():
+        req = int(req)
+        if req <= 0:
+            continue
+        width = max(int(req * margin), DEFAULT_STRIDE)
+        width = -(-width // quantum) * quantum
+        table[key] = width
+    return table
+
+
+def calibrate_from_pyramids(pyramids: Iterable, spec, margin: float = 1.25
+                            ) -> Dict[str, int]:
+    """Max the measured requirements over a sample of built pyramids."""
+    req_fn = jax.jit(lambda p: band_requirements_traced(p, spec))
+    measured: Dict[str, int] = {}
+    for pyr in pyramids:
+        for key, val in jax.device_get(req_fn(pyr)).items():
+            measured[key] = max(measured.get(key, 0), int(val))
+    return finalize_table(measured, margin=margin)
+
+
+def calibrate_from_clouds(clouds, masks, quantizer, spec, margin: float = 1.25,
+                          batch: int = 8) -> Dict[str, int]:
+    """clouds (N, P, 3) float32 + masks (N, P) bool -> calibration table."""
+    import numpy as np
+
+    from egonn_tpu.sparse.pyramid import build_pyramid
+
+    def mk(c, m):
+        res = jax.vmap(lambda pc, mm: quantizer.quantize(
+            pc, mm, spec.capacities[0], need_index=False))(c, m)
+        return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
+
+    mk_j = jax.jit(mk)
+    n = clouds.shape[0]
+    # pad the tail slice by repetition so every batch compiles to one shape
+    idx = [np.minimum(np.arange(i, i + batch), n - 1)
+           for i in range(0, n, batch)]
+    pyramids = (mk_j(jnp.asarray(clouds[ii]), jnp.asarray(masks[ii]))
+                for ii in idx)
+    return calibrate_from_pyramids(pyramids, spec, margin=margin)
+
+
+def save_calibration(table: Dict[str, int], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+
+
+def load_calibration(path: str) -> Dict[str, int]:
+    with open(path) as f:
+        return {str(k): int(v) for k, v in json.load(f).items()}
