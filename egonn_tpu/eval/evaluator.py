@@ -134,9 +134,9 @@ class Evaluator:
                       " fallback engaged (no drops)")
             else:
                 print(f"WARNING: band overflow at eval (neighbors dropped) in"
-                      f" {bad} — recall may degrade; use"
-                      " EGONN_BANDED_FALLBACK=1 or wider sub-windows"
-                      " (sparse/banded.py)")
+                      f" {bad} — recall may degrade; calibrate widths"
+                      " (tools/calibrate_bands.py + EGONN_BAND_CALIB) or use"
+                      " EGONN_BANDED_FALLBACK=1")
 
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):
@@ -278,11 +278,20 @@ class GLEvaluator(Evaluator):
         raise NotImplementedError(t)
 
     def evaluate(self, variables) -> Dict:
+        from egonn_tpu.utils import tracing
+
+        # capture the FIRST evaluation only (jax.profiler forbids nesting and
+        # periodic in-training evals would bloat the trace dir otherwise)
+        self._trace = tracing.capture(
+            "gl_eval", enabled=not getattr(self, "_traced", False))
+        self._traced = True
+        self._trace.__enter__()
         n_k_max = max(self.n_k)
-        map_e = self.compute_embeddings(variables, self.eval_set.map_set,
-                                        with_local=True, n_k=n_k_max)
-        query_e = self.compute_embeddings(variables, self.eval_set.query_set,
-                                          with_local=True, n_k=n_k_max)
+        with tracing.annotate("eval_embed"):
+            map_e = self.compute_embeddings(variables, self.eval_set.map_set,
+                                            with_local=True, n_k=n_k_max)
+            query_e = self.compute_embeddings(variables, self.eval_set.query_set,
+                                              with_local=True, n_k=n_k_max)
         global_metrics = self.compute_recall(map_e["global"], query_e["global"])
         global_metrics["band_ok"] = self.band_ok
         top1 = global_metrics["top1_ndx"]
@@ -305,11 +314,15 @@ class GLEvaluator(Evaluator):
         )
 
         metrics = {}
-        for n_k in self.n_k:
-            stats = self._eval_local(
-                eligible, top1, query_e, map_e, n_k, ransac_jit
-            )
-            metrics[n_k] = stats
+        from egonn_tpu.utils import tracing
+
+        with tracing.annotate("eval_ransac"):
+            for n_k in self.n_k:
+                stats = self._eval_local(
+                    eligible, top1, query_e, map_e, n_k, ransac_jit
+                )
+                metrics[n_k] = stats
+        self._trace.__exit__(None, None, None)
         return global_metrics, metrics
 
     def _eval_local(self, eligible, top1, query_e, map_e, n_k, ransac_jit) -> Dict:

@@ -286,9 +286,17 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     # would carry fresh jit caches (VERDICT r1 weak #6)
     last_global = None  # last train batch, for the periodic band-fit check
 
+    from egonn_tpu.utils import tracing
+
     for epoch in range(1, params.epochs + 1):
         t_epoch = time.time()
         lr = float(lr_sched(epoch - 1))
+        # phase-scoped profiler capture (SURVEY §5): one epoch, past the
+        # compile storm, into EGONN_TRACE_DIR/train_epochN
+        trace_ctx = tracing.capture(
+            f"train_epoch{epoch}",
+            enabled=epoch == min(tracing.trace_epoch(), params.epochs))
+        trace_ctx.__enter__()
         phases = ["train"] + (["val"] if val_ds else [])
         for phase in phases:
             ds = train_ds if phase == "train" else val_ds
@@ -308,8 +316,9 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
 
             def batches():
                 for bi, (gids, lids) in enumerate(zip(smp, local_batches)):
-                    g = make_global_batch(ds, gids, num_points, buckets)
-                    l = make_local_batch(lds, lids, num_points)
+                    with tracing.annotate("batch_prep"):
+                        g = make_global_batch(ds, gids, num_points, buckets)
+                        l = make_local_batch(lds, lids, num_points)
                     yield g, l
 
             running: List[Dict[str, float]] = []
@@ -342,11 +351,12 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                     }
                     ldict = {k: jax.device_put(v, shard_s)
                              for k, v in ldict.items()}
-                state, stats = step_fn(
-                    state, gdict, ldict, step_rng, jnp.float32(lr),
-                    train=phase == "train",
-                )
-                running.append({k: float(v) for k, v in stats.items()})
+                with tracing.step_annotation(f"{phase}_step", step_num=count):
+                    state, stats = step_fn(
+                        state, gdict, ldict, step_rng, jnp.float32(lr),
+                        train=phase == "train",
+                    )
+                    running.append({k: float(v) for k, v in stats.items()})
 
             if running:
                 epoch_stats = {k: float(np.mean([r[k] for r in running]))
@@ -357,6 +367,7 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                 print(f"WARNING: {phase} epoch produced ZERO steps — check that "
                       "tuples have positives and both loaders are non-empty")
 
+        trace_ctx.__exit__(None, None, None)
         state = state.replace(epoch=state.epoch + 1)
 
         # periodic band-fit health check (the banded kernels' drop-and-report
@@ -384,9 +395,10 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                                   "lax.cond fallback engaged (no drops)")
                         else:
                             print(f"WARNING: band overflow (neighbors "
-                                  f"dropped) in {bad} — consider "
-                                  "EGONN_BANDED_FALLBACK=1 or wider "
-                                  "sub-windows")
+                                  f"dropped) in {bad} — calibrate widths "
+                                  "(tools/calibrate_bands.py + "
+                                  "EGONN_BAND_CALIB) or set "
+                                  "EGONN_BANDED_FALLBACK=1")
             except Exception as e:
                 print(f"WARNING: band-fit check failed: {e}")
 

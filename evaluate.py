@@ -14,6 +14,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _mesh(args):
+    if not args.dp:
+        return None
+    from egonn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    print(f"evaluation sharded over {mesh.size} devices")
+    return mesh
+
+
 def main():
     parser = argparse.ArgumentParser(description="Evaluate model on a dataset")
     parser.add_argument("--dataset_root", type=str, required=True)
@@ -46,6 +56,9 @@ def main():
                              "deterministic stride sampling here)")
     parser.add_argument("--global_only", action="store_true",
                         help="Skip the 6DoF local evaluation")
+    parser.add_argument("--dp", action="store_true",
+                        help="Shard embedding batches over all local devices "
+                             "(data-parallel mesh)")
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args()
 
@@ -110,7 +123,7 @@ def main():
         ev = Evaluator(args.dataset_root, args.dataset_type, args.eval_set_pickle,
                        built, num_points=model_params.num_points,
                        radius=args.radius, n_samples=args.n_samples,
-                       debug=args.debug)
+                       debug=args.debug, mesh=_mesh(args))
         metrics = ev.evaluate(variables)
         for r, rec in metrics["recall"].items():
             print(f"Radius {r} m  Recall@1: {rec[0]:.4f}  Recall@5: {rec[min(4, len(rec)-1)]:.4f}  "
@@ -123,7 +136,8 @@ def main():
                          icp_point2plane=args.icp_point2plane, debug=args.debug,
                          n_hypotheses=args.ransac_hypotheses,
                          n_samples=args.n_samples,
-                         ignore_keypoint_saliency=args.ignore_keypoint_saliency)
+                         ignore_keypoint_saliency=args.ignore_keypoint_saliency,
+                         mesh=_mesh(args))
         global_metrics, local_metrics = ev.evaluate(variables)
         ev.print_results(global_metrics, local_metrics)
 

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--step_deg", type=float, default=10.0)
     parser.add_argument("--max_deg", type=float, default=180.0)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--dp", action="store_true",
+                        help="Shard the rotation sweep's embedding batches "
+                             "over all local devices (data-parallel mesh)")
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args()
 
@@ -52,12 +55,20 @@ def main():
     else:
         raise SystemExit("--weights is required")
 
+    mesh = None
+    if args.dp:
+        from egonn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"rotation sweep sharded over {mesh.size} devices")
+
     thetas = list(np.arange(0.0, args.max_deg + 1e-6, args.step_deg))
     ev = RotationEvaluator(args.dataset_root, args.dataset_type,
                            args.eval_set_pickle, built,
                            num_points=model_params.num_points,
                            thetas_deg=thetas, radius=args.radius,
-                           n_samples=args.n_samples, debug=args.debug)
+                           n_samples=args.n_samples, debug=args.debug,
+                           mesh=mesh)
     results = ev.evaluate(variables)
     for theta, m in results.items():
         r = m["recall"]
