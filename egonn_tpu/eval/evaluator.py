@@ -40,6 +40,16 @@ from egonn_tpu.ops.ransac import ransac_6dof
 from egonn_tpu.sparse.pyramid import build_pyramid
 
 
+def _banded_active() -> bool:
+    """Whether the banded engine (whose window widths calibration tunes) is
+    in play for this process.  Separate so tests can exercise the
+    auto-calibration flow on CPU, where the Pallas kernels themselves can't
+    run."""
+    from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+
+    return USE_BANDED and _on_tpu()
+
+
 class Evaluator:
     """Global-descriptor-only evaluator (reference eval/evaluate.py:28-116)."""
 
@@ -76,6 +86,7 @@ class Evaluator:
             ]
         self.pc_loader = get_pointcloud_loader(dataset_type)
         self._forward = {}  # keyed by with_local — the two jits differ
+        self._calibrated = False  # band auto-calibration ran (or was skipped)
         # band-fit flags of the banded engine on this evaluator's data
         # ({} when the banded engine is off); populated on the first embedded
         # batch — the drop-and-report overflow policy (sparse/banded.py)
@@ -138,11 +149,67 @@ class Evaluator:
                       " (tools/calibrate_bands.py + EGONN_BAND_CALIB) or use"
                       " EGONN_BANDED_FALLBACK=1")
 
+    def _maybe_calibrate(self):
+        """Auto-calibrate the banded engine's window widths on this dataset
+        (sparse/calibrate.py) before the first forward jit traces, so denser
+        clouds never rely on the drop-and-report overflow policy and sparser
+        ones get narrower (faster) windows.  Cached per dataset+config under
+        ~/.cache/egonn_tpu; a pre-installed table (EGONN_BAND_CALIB /
+        set_band_calibration) wins; EGONN_AUTO_CALIB=0 disables."""
+        import hashlib
+        import json
+        import os
+
+        if self._calibrated:
+            return
+        self._calibrated = True
+        if os.environ.get("EGONN_AUTO_CALIB", "1") == "0":
+            return
+        from egonn_tpu.sparse import banded
+
+        if (not _banded_active() or banded.FALLBACK
+                or banded.get_band_calibration()):
+            return
+        from egonn_tpu.sparse.calibrate import (
+            calibrate_from_clouds,
+            load_calibration,
+            save_calibration,
+        )
+
+        spec, quantizer = self.built.pyramid_spec, self.built.quantizer
+        ident = json.dumps([self.dataset_root, self.dataset_type,
+                            self.num_points, list(spec.capacities)],
+                           sort_keys=True)
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "egonn_tpu")
+        cache = os.path.join(
+            cache_dir, f"bands_{hashlib.sha1(ident.encode()).hexdigest()[:16]}.json")
+        if os.path.exists(cache):
+            banded.set_band_calibration(load_calibration(cache))
+            print(f"band calibration loaded from {cache}")
+            return
+        sample_set = self.eval_set.map_set or self.eval_set.query_set
+        stride = max(1, len(sample_set) // 16)
+        sample = sample_set[::stride][:16]
+        clouds = np.zeros((len(sample), self.num_points, 3), np.float32)
+        mask = np.zeros((len(sample), self.num_points), bool)
+        for i, e in enumerate(sample):
+            pc = self.pc_loader(os.path.join(self.dataset_root,
+                                             e.rel_scan_filepath))
+            clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32),
+                                           self.num_points)
+        table = calibrate_from_clouds(clouds, mask, quantizer, spec,
+                                      batch=min(8, len(sample)))
+        banded.set_band_calibration(table)
+        os.makedirs(cache_dir, exist_ok=True)
+        save_calibration(table, cache)
+        print(f"band widths calibrated on {len(sample)} scans -> {cache}")
+
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):
         """Returns dict of stacked numpy outputs for all elements of the subset."""
         import os
 
+        self._maybe_calibrate()
         if with_local not in self._forward:
             self._forward[with_local] = self._make_forward(with_local)
         fwd = self._forward[with_local]

@@ -159,3 +159,56 @@ def test_synthetic_eval_set_calibrates_to_zero_overflow(tmp_path):
     assert any(k.startswith("zrun:") for k in table), table
     banded.set_band_calibration(table)
     assert all_bad() == []
+
+
+@pytest.mark.slow
+def test_evaluator_auto_calibration(tmp_path, monkeypatch):
+    """Evaluator._maybe_calibrate installs a dataset-measured table before the
+    first forward traces and caches it per dataset+config (~/.cache/egonn_tpu);
+    second construction loads the cache; EGONN_AUTO_CALIB=0 disables."""
+    from egonn_tpu.config import ModelParams
+    from egonn_tpu.data.synthetic import generate_synthetic_dataset
+    from egonn_tpu.eval.evaluator import Evaluator
+    from egonn_tpu.models.factory import model_factory
+    import egonn_tpu.eval.evaluator as evmod
+    from egonn_tpu.sparse import banded
+
+    root = str(tmp_path / "synth")
+    _, _, eval_p = generate_synthetic_dataset(
+        root, n_scans=12, extent=60.0, scan_radius=40.0, max_points=2048, seed=3)
+
+    mp = ModelParams("model_configs/egonn.txt")
+    mp.cap0 = 256
+    mp.num_points = 512
+    mp.num_points_explicit = True
+    built = model_factory(mp, cap0=mp.cap0)
+
+    # the banded engine is TPU-only; force the evaluator's gate on so the
+    # calibration logic (pure jnp, runs anywhere) is exercised on CPU
+    monkeypatch.setattr(evmod, "_banded_active", lambda: True)
+    monkeypatch.setenv("HOME", str(tmp_path))  # isolate the cache dir
+    banded.set_band_calibration({})
+    try:
+        ev = Evaluator(root, "synthetic", eval_p, built, num_points=512)
+        ev._maybe_calibrate()
+        table = banded.get_band_calibration()
+        assert table, "auto-calibration installed no table"
+        assert any(k.startswith("conv:") for k in table)
+        import glob
+        caches = glob.glob(str(tmp_path / ".cache" / "egonn_tpu" / "*.json"))
+        assert len(caches) == 1
+
+        # second evaluator: loads the cache instead of re-measuring
+        banded.set_band_calibration({})
+        ev2 = Evaluator(root, "synthetic", eval_p, built, num_points=512)
+        ev2._maybe_calibrate()
+        assert banded.get_band_calibration() == table
+
+        # kill switch
+        banded.set_band_calibration({})
+        monkeypatch.setenv("EGONN_AUTO_CALIB", "0")
+        ev3 = Evaluator(root, "synthetic", eval_p, built, num_points=512)
+        ev3._maybe_calibrate()
+        assert banded.get_band_calibration() == {}
+    finally:
+        banded.set_band_calibration({})
