@@ -381,8 +381,6 @@ class GLEvaluator(Evaluator):
         )
 
         metrics = {}
-        from egonn_tpu.utils import tracing
-
         with tracing.annotate("eval_ransac"):
             for n_k in self.n_k:
                 stats = self._eval_local(

@@ -44,6 +44,7 @@ def _plain_bf16(feats, kmap, kernel):
     return _plain_gather_conv(f16, kmap, k16)
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_banded_matches_plain_on_real_bands(rng):
     """On a real sorted-key pyramid the bands fit and the Pallas (interpret)
     kernel reproduces the gather conv at bf16 tolerance."""

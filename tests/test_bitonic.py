@@ -80,6 +80,7 @@ def test_vmap_batches_the_kernel():
     np.testing.assert_array_equal(np.asarray(s), np.sort(x, axis=-1))
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_pyramid_identical_with_psort_engine(monkeypatch):
     """Swap the engine's sort sites to the Pallas sorter (interpret mode) and
     require the ENTIRE pyramid to be bit-identical."""

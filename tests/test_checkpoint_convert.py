@@ -181,6 +181,7 @@ def test_convert_roundtrip(egonn_vars):
                                    err_msg=key)
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_pth_load_and_apply_matches(egonn_vars, tmp_path):
     """One-command .pth path: torch.save a reference-style state_dict, load it
     through load_reference_checkpoint (the evaluate.py --weights *.pth route),
@@ -214,6 +215,7 @@ def test_pth_load_and_apply_matches(egonn_vars, tmp_path):
                                       err_msg=key)
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_me_slot_semantics_directional():
     """Pin the ME kernel-slot enumeration to actual spatial behavior.
 

@@ -1,10 +1,12 @@
 """GLEvaluator protocol options: query subsampling (--n_samples) and the
 random-keypoint ablation (--ignore_keypoint_saliency), on the synthetic set."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_gl_evaluator_n_samples_and_saliency_ablation(tmp_path, rng):
     from egonn_tpu.config import TrainingParams
     from egonn_tpu.data.synthetic import generate_synthetic_dataset

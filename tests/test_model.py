@@ -65,6 +65,7 @@ def egonn_forward():
     return built, spec, variables, y, coords, mask
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_fused_bn_eval_matches_unfused(egonn_forward, monkeypatch):
     """Eval-mode BN/ReLU epilogue fusion (FUSE_BN_EVAL) changes only the
     op association (x*s' + b' vs (x-m)*rsqrt*s + b): forwards must agree to

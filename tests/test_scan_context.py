@@ -3,6 +3,7 @@ evaluator (eval/rotations.py) — host-side protocol tests.
 
 Reference counterparts: third_party/scan_context/scan_context.py and
 eval/evaluate_with_rotations.py (jac99/Egonn)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +93,7 @@ def test_manager_retrieval_under_rotation(rng):
     assert nn_plain[0] == target and d_none is None
 
 
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
 def test_rotation_evaluator_theta0_matches_base(tmp_path, rng):
     from egonn_tpu.config import TrainingParams
     from egonn_tpu.data.synthetic import generate_synthetic_dataset
