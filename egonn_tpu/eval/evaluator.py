@@ -156,8 +156,6 @@ class Evaluator:
         ones get narrower (faster) windows.  Cached per dataset+config under
         ~/.cache/egonn_tpu; a pre-installed table (EGONN_BAND_CALIB /
         set_band_calibration) wins; EGONN_AUTO_CALIB=0 disables."""
-        import hashlib
-        import json
         import os
 
         if self._calibrated:
@@ -167,42 +165,29 @@ class Evaluator:
             return
         from egonn_tpu.sparse import banded
 
-        if (not _banded_active() or banded.FALLBACK
-                or banded.get_band_calibration()):
+        if not _banded_active() or banded.FALLBACK:
             return
-        from egonn_tpu.sparse.calibrate import (
-            calibrate_from_clouds,
-            load_calibration,
-            save_calibration,
-        )
+        from egonn_tpu.sparse.calibrate import auto_calibrate_cached
 
         spec, quantizer = self.built.pyramid_spec, self.built.quantizer
-        ident = json.dumps([self.dataset_root, self.dataset_type,
-                            self.num_points, list(spec.capacities)],
-                           sort_keys=True)
-        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "egonn_tpu")
-        cache = os.path.join(
-            cache_dir, f"bands_{hashlib.sha1(ident.encode()).hexdigest()[:16]}.json")
-        if os.path.exists(cache):
-            banded.set_band_calibration(load_calibration(cache))
-            print(f"band calibration loaded from {cache}")
-            return
-        sample_set = self.eval_set.map_set or self.eval_set.query_set
-        stride = max(1, len(sample_set) // 16)
-        sample = sample_set[::stride][:16]
-        clouds = np.zeros((len(sample), self.num_points, 3), np.float32)
-        mask = np.zeros((len(sample), self.num_points), bool)
-        for i, e in enumerate(sample):
-            pc = self.pc_loader(os.path.join(self.dataset_root,
-                                             e.rel_scan_filepath))
-            clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32),
-                                           self.num_points)
-        table = calibrate_from_clouds(clouds, mask, quantizer, spec,
-                                      batch=min(8, len(sample)))
-        banded.set_band_calibration(table)
-        os.makedirs(cache_dir, exist_ok=True)
-        save_calibration(table, cache)
-        print(f"band widths calibrated on {len(sample)} scans -> {cache}")
+
+        def load_sample():
+            sample_set = self.eval_set.map_set or self.eval_set.query_set
+            stride = max(1, len(sample_set) // 16)
+            sample = sample_set[::stride][:16]
+            clouds = np.zeros((len(sample), self.num_points, 3), np.float32)
+            mask = np.zeros((len(sample), self.num_points), bool)
+            for i, e in enumerate(sample):
+                pc = self.pc_loader(os.path.join(self.dataset_root,
+                                                 e.rel_scan_filepath))
+                clouds[i], mask[i] = pad_cloud(np.asarray(pc, np.float32),
+                                               self.num_points)
+            return clouds, mask
+
+        auto_calibrate_cached(
+            ["eval", self.dataset_root, self.dataset_type, self.num_points,
+             list(spec.capacities)],
+            load_sample, quantizer, spec)
 
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):

@@ -185,3 +185,37 @@ def save_calibration(table: Dict[str, int], path: str) -> None:
 def load_calibration(path: str) -> Dict[str, int]:
     with open(path) as f:
         return {str(k): int(v) for k, v in json.load(f).items()}
+
+
+def auto_calibrate_cached(ident_obj, load_sample_fn, quantizer, spec,
+                          margin: float = 1.25, batch: int = 8) -> bool:
+    """Install a calibration table for this process: from the per-config disk
+    cache (~/.cache/egonn_tpu) when present, else by measuring a fresh sample
+    (load_sample_fn() -> (clouds, masks) numpy arrays) and caching the result.
+
+    Shared by the Evaluator and the trainer so every entry point gets the same
+    calibrate-once-per-dataset flow.  A table already installed (e.g. via
+    EGONN_BAND_CALIB) wins.  Returns True when a table is installed."""
+    import hashlib
+    import os
+
+    from egonn_tpu.sparse import banded
+
+    if banded.get_band_calibration():
+        return True
+    ident = json.dumps(ident_obj, sort_keys=True, default=str)
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "egonn_tpu")
+    cache = os.path.join(
+        cache_dir, f"bands_{hashlib.sha1(ident.encode()).hexdigest()[:16]}.json")
+    if os.path.exists(cache):
+        banded.set_band_calibration(load_calibration(cache))
+        print(f"band calibration loaded from {cache}")
+        return True
+    clouds, masks = load_sample_fn()
+    table = calibrate_from_clouds(clouds, masks, quantizer, spec,
+                                  margin=margin, batch=min(batch, len(clouds)))
+    banded.set_band_calibration(table)
+    os.makedirs(cache_dir, exist_ok=True)
+    save_calibration(table, cache)
+    print(f"band widths calibrated on {len(clouds)} scans -> {cache}")
+    return True

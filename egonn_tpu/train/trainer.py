@@ -254,6 +254,35 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         multiple_of=n_dev,
     )
 
+    # auto-calibrate the banded engine's window widths on this dataset BEFORE
+    # any jit traces (widths are captured at trace time).  margin 1.5 (vs the
+    # eval default 1.25) buys headroom for the device-side augmentation, which
+    # the un-augmented sample can't exercise; the periodic band-fit health
+    # check below still audits the live training pyramids.
+    if os.environ.get("EGONN_AUTO_CALIB", "1") != "0":
+        from egonn_tpu.eval.evaluator import _banded_active
+        from egonn_tpu.sparse import banded as _banded
+
+        if _banded_active() and not _banded.FALLBACK:
+            from egonn_tpu.data.pipeline import pad_cloud
+            from egonn_tpu.sparse.calibrate import auto_calibrate_cached
+
+            def _load_sample(n_sample=16):
+                stride = max(1, len(train_ds) // n_sample)
+                ids = list(range(0, len(train_ds), stride))[:n_sample]
+                clouds = np.zeros((len(ids), num_points, 3), np.float32)
+                masks = np.zeros((len(ids), num_points), bool)
+                for i, ndx in enumerate(ids):
+                    pc, _ = train_ds[ndx]
+                    clouds[i], masks[i] = pad_cloud(
+                        np.asarray(pc, np.float32), num_points)
+                return clouds, masks
+
+            auto_calibrate_cached(
+                ["train", params.dataset_folder, dataset_type, num_points,
+                 list(built.pyramid_spec.capacities)],
+                _load_sample, built.quantizer, built.pyramid_spec, margin=1.5)
+
     tx = make_optimizer(params)
     lr_sched = make_lr_schedule(params)
     step_fn, _, _ = make_train_step(built, params, tx)

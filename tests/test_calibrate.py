@@ -212,3 +212,50 @@ def test_evaluator_auto_calibration(tmp_path, monkeypatch):
         assert banded.get_band_calibration() == {}
     finally:
         banded.set_band_calibration({})
+
+
+@pytest.mark.slow
+def test_trainer_auto_calibration(tmp_path, monkeypatch):
+    """do_train installs a dataset-measured band table (margin 1.5 for
+    augmentation headroom) before its first jit traces, cached like the
+    evaluator's."""
+    import glob
+
+    import egonn_tpu.eval.evaluator as evmod
+    from egonn_tpu.config import TrainingParams
+    from egonn_tpu.data.synthetic import generate_synthetic_dataset
+    from egonn_tpu.sparse import banded
+    from egonn_tpu.train.trainer import do_train
+
+    root = str(tmp_path / "synth")
+    train_p, val_p, _ = generate_synthetic_dataset(
+        root, n_scans=24, extent=60.0, scan_radius=40.0, max_points=2048, seed=5)
+
+    params = TrainingParams("config/config_egonn.txt", "model_configs/egonn.txt",
+                            require_dataset=False)
+    params.dataset_folder = root
+    params.train_file = train_p
+    params.val_file = None
+    params.test_file = None
+    params.epochs = 1
+    params.batch_size = params.batch_size_limit = 4
+    params.batch_expansion_rate = None
+    params.batch_expansion_th = None
+    params.local_batch_size = 4
+    params.mesh = None
+    params.model_params.cap0 = 256
+    params.model_params.num_points = 512
+    params.model_params.num_points_explicit = True
+
+    monkeypatch.setattr(evmod, "_banded_active", lambda: True)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    banded.set_band_calibration({})
+    try:
+        do_train(params, debug=True, weights_path=str(tmp_path / "w"),
+                 log_fn=lambda m: None, dataset_type="synthetic")
+        table = banded.get_band_calibration()
+        assert table and any(k.startswith("conv:") for k in table)
+        caches = glob.glob(str(tmp_path / ".cache" / "egonn_tpu" / "*.json"))
+        assert len(caches) == 1
+    finally:
+        banded.set_band_calibration({})
