@@ -58,8 +58,7 @@ class SparseConv(nn.Module):
     def __call__(self, feats: jnp.ndarray, kmap: jnp.ndarray,
                  up_parent: jnp.ndarray | None = None,
                  up_koffset: jnp.ndarray | None = None,
-                 epi: tuple | None = None,
-                 stem_bits: jnp.ndarray | None = None) -> jnp.ndarray:
+                 epi: tuple | None = None) -> jnp.ndarray:
         init = (
             kaiming_me(self.kernel_volume, self.out_channels)
             if self.kaiming
@@ -70,12 +69,6 @@ class SparseConv(nn.Module):
         )
         if feats is None:
             # all-ones single-channel input: occupancy fast path (EgoNN stem)
-            if stem_bits is not None:
-                kz = round(self.kernel_volume ** (1.0 / 3.0))
-                if epi is not None:
-                    return sconv.sparse_conv_ones_bits_epi(stem_bits, kernel,
-                                                           kz, epi)
-                return sconv.sparse_conv_ones_bits(stem_bits, kernel, kz)
             n_in = kmap.shape[-1]  # self-map: C_in == C_out
             return sconv.sparse_conv_ones(kmap, kernel, n_in)
         if epi is not None:

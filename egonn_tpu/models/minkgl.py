@@ -61,25 +61,18 @@ class MinkTrunk(nn.Module):
         k0 = self.conv0_kernel_size ** 3
         inplanes = self.planes[0]
         # Stem: conv k=5 s=1 + BN + ReLU at level 0. feats0=None engages the
-        # all-ones fast path (EgoNN input features are constant 1): either the
-        # packed-bits LUT conv (Level.stem_bits) or the kmap validity matmul.
+        # all-ones fast path (EgoNN input features are constant 1): the kmap
+        # validity matmul (a packed-bits LUT stem variant was A/B'd on chip
+        # twice and LOST, 375 vs 430 clouds/s round 4 — deleted).
         conv0 = SparseConv(self.in_channels, inplanes, k0, kaiming=True,
                            name="conv0")
         bn0 = SparseBatchNorm(inplanes, name="bn0")
         lvl0 = pyramid[0]
-        if (feats0 is None and lvl0.stem_bits is not None and not train
-                and sconv.FUSE_BN_EVAL):
-            # eval: BN0 affine + ReLU + mask fused into the LUT kernel
-            s, b = bn0.affine()
-            x = conv0(None, None, stem_bits=lvl0.stem_bits,
-                      epi=(s, b, True, lvl0.mask))
-            x = x.astype(activation_dtype())
-        else:
-            x = conv0(feats0, lvl0.kmap_self, stem_bits=lvl0.stem_bits)
-            x = x.astype(activation_dtype())  # bf16 activation flow on TPU
-            x = bn0(x, lvl0.mask, train)
-            x = nn.relu(x)
-            x = masked(x, lvl0.mask)
+        x = conv0(feats0, lvl0.kmap_self)
+        x = x.astype(activation_dtype())  # bf16 activation flow on TPU
+        x = bn0(x, lvl0.mask, train)
+        x = nn.relu(x)
+        x = masked(x, lvl0.mask)
 
         from egonn_tpu.sparse import conv as sconv
 

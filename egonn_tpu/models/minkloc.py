@@ -51,16 +51,10 @@ class MinkFPN(nn.Module):
                            self.conv0_kernel_size ** 3, name="conv0")
         bn0 = SparseBatchNorm(inplanes, name="bn0")
         lvl0 = pyramid[0]
-        if (feats0 is None and lvl0.stem_bits is not None and not train
-                and sconv.FUSE_BN_EVAL):
-            s, b = bn0.affine()
-            x = conv0(None, None, stem_bits=lvl0.stem_bits,
-                      epi=(s, b, True, lvl0.mask))
-        else:
-            x = conv0(feats0, lvl0.kmap_self, stem_bits=lvl0.stem_bits)
-            x = bn0(x, lvl0.mask, train)
-            x = nn.relu(x)
-            x = masked(x, lvl0.mask)
+        x = conv0(feats0, lvl0.kmap_self)
+        x = bn0(x, lvl0.mask, train)
+        x = nn.relu(x)
+        x = masked(x, lvl0.mask)
 
         feature_maps = []  # (level, feats, channels)
         if ntd == nb:

@@ -48,15 +48,11 @@ import jax.numpy as jnp
 # tests/test_banded_tpu.py), EGONN_BANDED_FALLBACK=1 restores the lax.cond
 # wrappers, and EGONN_BANDED=0 selects the exact gather engine outright.
 FALLBACK = os.environ.get("EGONN_BANDED_FALLBACK", "0") == "1"
-# channel-pack narrow-channel conv tables (conv_band_params).  Off by default:
-# e2e bench measured 207 vs 296 clouds/s with packing on in "roll" mode — the
-# per-offset lane rotation (pack-1 rolled copies + selects on (tile, 128)
-# bf16) costs more VPU than the smaller one-hot build saves.  The "wsel" mode
-# (default when packing) replaces the rolls with pack pre-shifted weight
-# matmuls + (tile, F) selects — group alignment rides the MXU instead of the
-# VPU; see _pallas_banded_conv.
-PACK_ENABLED = os.environ.get("EGONN_CONV_PACK", "0") == "1"
-PACK_MODE = os.environ.get("EGONN_CONV_PACK_MODE", "wsel")  # "wsel" | "roll"
+# (Channel-packing of narrow-channel conv tables was built and A/B'd on chip
+# in three variants — lane-roll, pre-shifted weight-select, concatenated-lane
+# matmul — and ALL lost to the unpacked kernel: 207/339/198 vs 430 clouds/s
+# (rounds 2-4).  The alignment work costs more than the smaller one-hot build
+# saves at these channel widths; the machinery was deleted after round 4.)
 
 DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
@@ -150,32 +146,7 @@ def conv_sub_width(c_in: int, c_out: int, sub: int | None = None) -> int:
     return min(sub, c_in)  # small tables: the sub-window IS the table
 
 
-def conv_band_params(c_in: int, c_out: int, f_in: int, sub: int | None = None
-                     ) -> tuple:
-    """(pack, sub) actually compiled by the banded conv for this map + channel
-    shape.
-
-    Narrow-channel levels (f_in 32/64) CHANNEL-PACK the feature table:
-    pack = 128/f_in voxel rows share one 128-lane table row, so the gather
-    one-hot matmul contracts over `sub` PACKED rows — pack x fewer MXU cycles
-    and pack x less VPU one-hot build for the same coverage.  (The conv kernel
-    is MXU-bound on the gather contraction: measured 278 ns/offset at the
-    unpacked down-conv width 1024 == its 4-MXU v5e roofline.)
-
-    The packed width is sized so a fit under the UNPACKED audit width implies
-    a packed fit — hi//p - align16(lo//p) <= (hi-lo)/p + 16 < (sub_u-1)/p + 17
-    — so band_fit_report's unpacked audit remains a sound (conservative)
-    health check and packing introduces NO new overflow risk."""
-    sub_u = conv_sub_width(c_in, c_out, sub)
-    pack = 128 // f_in if f_in in (32, 64) and PACK_ENABLED else 1
-    if pack == 1 or c_in % (pack * 16) != 0:
-        return 1, sub_u
-    sub_p = -(-((sub_u - 1) // pack + 17) // 16) * 16
-    return pack, min(sub_p, c_in // pack)
-
-
-def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
-                      pack: int = 1):
+def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int):
     """Band layout for the VMEM-resident conv kernel: per (batch, offset, tile)
     a 16-aligned absolute sub-window start into the feature table (bf16
     sublane granularity — the Pallas kernel asserts pl.multiple_of(start, 16)),
@@ -197,30 +168,23 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
     all-sentinel tile's one-hots match nothing, so its output is zero either
     way.
 
-    With pack > 1 (channel-packed tables, conv_band_params), `sub` and
-    `starts` are in PACKED table rows (pack voxels per row), while `rel` stays
-    in UNPACKED voxel units relative to start*pack (invalid marker sub*pack):
-    the kernel derives the packed row as rel >> log2(pack) and the lane group
-    as rel & (pack-1).
     """
     b, k, c_out = kmap.shape
     assert c_out % tile == 0, (c_out, tile)
     t = c_out // tile
     km = kmap.reshape(b, k, t, tile)
     valid = km < c_in
-    kmp = km // pack if pack > 1 else km
     big = jnp.int32(2**30)
-    lo_k = jnp.min(jnp.where(valid, kmp, big), axis=-1)     # (B, K, T)
-    hi_k = jnp.max(jnp.where(valid, kmp, -1), axis=-1)      # (B, K, T)
+    lo_k = jnp.min(jnp.where(valid, km, big), axis=-1)      # (B, K, T)
+    hi_k = jnp.max(jnp.where(valid, km, -1), axis=-1)       # (B, K, T)
     any_k = jnp.any(valid, axis=-1)
     # per-offset ABSOLUTE sub-window start, 16-aligned (bf16 sublane
-    # granularity), within [0, c_rows - sub]
-    c_rows = c_in // pack
+    # granularity), within [0, c_in - sub]
     start = jnp.clip((jnp.where(any_k, lo_k, 0) // 16) * 16,
-                     0, max(c_rows - sub, 0))
+                     0, max(c_in - sub, 0))
     fits_sub = ~any_k | (hi_k - start < sub)
     ok = jnp.all(fits_sub)
-    rel = jnp.where(valid, km - start[..., None] * pack, sub * pack)
+    rel = jnp.where(valid, km - start[..., None], sub)
     rel = jnp.transpose(rel, (0, 2, 1, 3)).reshape(b, t, k, tile).astype(jnp.int32)
     starts = jnp.transpose(start, (0, 2, 1)).astype(jnp.int32)  # (B, T, K)
     active = jnp.any(any_k, axis=1).astype(jnp.int32)           # (B, T)
@@ -229,8 +193,7 @@ def band_layout_union(kmap: jnp.ndarray, c_in: int, sub: int, tile: int,
 
 def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         rel: jnp.ndarray, kernel: jnp.ndarray,
-                        sub: int, tile: int, pack: int = 1,
-                        pack_mode: str = "wsel",
+                        sub: int, tile: int,
                         active: jnp.ndarray | None = None,
                         epi_sb: jnp.ndarray | None = None,
                         epi_valid: jnp.ndarray | None = None,
@@ -246,26 +209,9 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     row-gather (issue-bound ~7 ns/row) and an XLA one-hot formulation (which
     materializes GBs of one-hot traffic).
 
-    feats (B, C_rows, 128) bf16; starts (B, T, K) int32 (multiples of 16);
-    rel (B, T, K, tile) int32 in [0, sub*pack]; kernel (K, 128, F_out)
-    (pack_mode "wsel": (K, pack, 128, F_out) bf16 pre-shifted variants).
+    feats (B, C_in, 128) bf16; starts (B, T, K) int32 (multiples of 16);
+    rel (B, T, K, tile) int32 in [0, sub]; kernel (K, 128, F_out).
     Returns (B, T, tile, F_out) f32.
-
-    pack > 1 (channel packing, conv_band_params): each 128-lane table row
-    holds `pack` voxels of 128/pack channels.  The one-hot picks the PACKED
-    row (rel >> log2(pack)) — pack x less MXU contraction and VPU one-hot
-    build.  The neighbor's lane-group (rel & (pack-1)) alignment is applied by
-    pack_mode:
-      "wsel" (default): contract against `pack` pre-shifted weight variants
-        and select each row's variant — group work rides the (otherwise idle)
-        MXU plus (tile, F) selects;
-      "roll": rotate the group down to lanes [0, 128/pack) by a select over
-        statically rotated (tile, 128) copies — measured 206 vs 296 clouds/s
-        e2e (the rolls are the whole regression; kept for A/B).
-    Sibling lanes carry other voxels' features, which the weight contraction
-    zeroes (rows outside the selected group are zero).  Both modes are
-    bit-identical to unpacked: same nonzero partial products, f32 accumulation,
-    +0.0 terms exact.
 
     Optional fused epilogue (inference: BN folds to a per-channel affine):
     `epi_sb` (2, F_out) f32 rides whole in VMEM — row 0 scale, row 1 bias;
@@ -289,23 +235,10 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
     b, t, k_vol, _ = rel.shape
     c_rows = feats.shape[1]
     assert feats.shape[-1] == 128
-    if pack > 1 and pack_mode == "wsel":
-        assert kernel.shape[:3] == (k_vol, pack, 128) and \
-            kernel.dtype == jnp.bfloat16, (kernel.shape, kernel.dtype)
-        f_out = kernel.shape[-1]
-    elif pack > 1 and pack_mode == "wcat":
-        # lanes hold all `pack` pre-shifted variants side by side
-        assert kernel.shape[1] == 128 and kernel.shape[-1] % pack == 0 and \
-            kernel.dtype == jnp.bfloat16, (kernel.shape, kernel.dtype)
-        f_out = kernel.shape[-1] // pack
-    else:
-        assert kernel.shape[1] == 128
-        f_out = kernel.shape[-1]
+    assert kernel.shape[1] == 128
+    f_out = kernel.shape[-1]
     assert feats.dtype == jnp.bfloat16  # halves the VMEM block (the level-0
     # table is 8 MB in f32 — over the 16 MB scoped-vmem budget with headroom)
-    assert pack in (1, 2, 4) and tile % 1 == 0
-    shift = pack.bit_length() - 1
-    lanes = 128 // pack
     if active is None:
         active = jnp.ones((b, t), jnp.int32)
     has_epi = epi_sb is not None
@@ -341,56 +274,10 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                 dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                 sub_w = feats_ref[0, pl.ds(dk, sub), :]
                 rel_k = rel_ref[0, 0, k, :]
-                prow = jax.lax.shift_right_logical(rel_k, shift) if pack > 1 \
-                    else rel_k
-                oh = (prow[:, None] == iota).astype(jnp.bfloat16)
+                oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
                 g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                             precision=prec)
                 gb = g.astype(jnp.bfloat16)
-                if pack > 1 and pack_mode == "wcat":
-                    # like "wsel" but all `pack` pre-shifted variants ride ONE
-                    # (128, pack*F) matmul (same products and adds — the wider
-                    # dot computes the same columns, so bit-identical); lane
-                    # slices then pick each row's variant
-                    sg = (rel_k & (pack - 1))[:, None]
-                    out_all = jnp.dot(gb, kern_ref[k],
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
-                    outk = out_all[:, 0:f_out]
-                    for j in range(1, pack):
-                        outk = jnp.where(sg == j,
-                                         out_all[:, j * f_out:(j + 1) * f_out],
-                                         outk)
-                    return acc + outk
-                if pack > 1 and pack_mode == "wsel":
-                    # weight-select: contract the packed row against `pack`
-                    # pre-shifted weight variants (kern_ref (K, pack, 128, F);
-                    # variant j holds the weights at rows [j*lanes, (j+1)*
-                    # lanes), zeros elsewhere) and pick each output row's
-                    # variant by its lane group.  Moves the group alignment
-                    # from pack-1 VPU lane rolls of (tile, 128) bf16 onto the
-                    # MXU (pack small matmuls) + (tile, F) selects —
-                    # bit-identical to the roll mode (same nonzero partial
-                    # products, f32 accumulation, +0.0 terms exact).
-                    sg = (rel_k & (pack - 1))[:, None]
-                    outk = jnp.dot(gb, kern_ref[k, 0],
-                                   preferred_element_type=jnp.float32,
-                                   precision=prec)
-                    for j in range(1, pack):
-                        oj = jnp.dot(gb, kern_ref[k, j],
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)
-                        outk = jnp.where(sg == j, oj, outk)
-                    return acc + outk
-                if pack > 1:
-                    # rotate the neighbor's lane group down to lanes [0, lanes)
-                    sg = (rel_k & (pack - 1))[:, None]
-                    aligned = gb
-                    for j in range(1, pack):
-                        rolled = jnp.concatenate(
-                            [gb[:, j * lanes:], gb[:, :j * lanes]], axis=1)
-                        aligned = jnp.where(sg == j, rolled, aligned)
-                    gb = aligned
                 return acc + jnp.dot(gb, kern_ref[k].astype(jnp.bfloat16),
                                      preferred_element_type=jnp.float32,
                                      precision=prec)
@@ -476,39 +363,14 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
 
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return _epi_xla(_plain_gather_conv(feats, kmap, kernel))
-    pack, sub = conv_band_params(c_in, c_out, f_in, sub)
+    sub = conv_sub_width(c_in, c_out, sub)
     t = c_out // tile
-    starts, rel, ok, active = band_layout_union(kmap, c_in, sub, tile, pack=pack)
+    starts, rel, ok, active = band_layout_union(kmap, c_in, sub, tile)
     f_pad = 128 - f_in
-    if pack > 1:
-        # channel-packed table: pack voxel rows per 128-lane row (a row-major
-        # reshape — no zero lanes, pack x smaller VMEM block)
-        feats_p = feats.astype(jnp.bfloat16).reshape(b, c_in // pack, 128)
-    else:
-        feats_p = feats.astype(jnp.bfloat16)
-        if f_pad:
-            feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
-    if pack > 1 and PACK_MODE == "wsel":
-        # pre-shifted weight variants (K, pack, 128, F_out): variant j holds
-        # the f_in weight rows at [j*f_in, (j+1)*f_in), zeros elsewhere.  bf16
-        # outside the kernel — identical rounding to the in-kernel cast the
-        # roll mode applies.
-        k_vol = kernel.shape[0]
-        kernel_p = jnp.zeros((k_vol, pack, 128, f_out), jnp.bfloat16)
-        for j in range(pack):
-            kernel_p = kernel_p.at[:, j, j * f_in:(j + 1) * f_in, :].set(
-                kernel.astype(jnp.bfloat16))
-    elif pack > 1 and PACK_MODE == "wcat":
-        # same variants, concatenated along lanes: (K, 128, pack*F_out) —
-        # one wider matmul per offset instead of `pack` dispatches
-        k_vol = kernel.shape[0]
-        kernel_p = jnp.zeros((k_vol, 128, pack * f_out), jnp.bfloat16)
-        for j in range(pack):
-            kernel_p = kernel_p.at[:, j * f_in:(j + 1) * f_in,
-                                   j * f_out:(j + 1) * f_out].set(
-                kernel.astype(jnp.bfloat16))
-    else:
-        kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
+    feats_p = feats.astype(jnp.bfloat16)
+    if f_pad:
+        feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
+    kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
 
     if epi is not None:
         scale, bias, _, mask = epi
@@ -519,7 +381,6 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
 
     def fast():
         out = _pallas_banded_conv(feats_p, starts, rel, kernel_p, sub, tile,
-                                  pack=pack, pack_mode=PACK_MODE,
                                   active=active, epi_sb=epi_sb,
                                   epi_valid=epi_valid,
                                   epi_relu=bool(epi[2]) if epi else False,
@@ -609,7 +470,7 @@ def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
 
 
 def banded_conv_dw(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray,
-                   fallback_fn=None, sub: int = DEFAULT_SUB,
+                   fallback_fn=None, sub: int | None = None,
                    tile: int = DEFAULT_TILE, interpret: bool = False):
     """dW for out[o] = sum_k feats[kmap[k, o]] @ W[k] via the banded dW kernel.
 
@@ -628,18 +489,10 @@ def banded_conv_dw(feats: jnp.ndarray, kmap: jnp.ndarray, g: jnp.ndarray,
     f_out = g.shape[-1]
     if c_out % tile != 0 or f_in > 128 or c_in % 16 != 0:
         return None
-    # Use the SAME window the forward compiled (conv_band_params) so the drop
-    # set matches exactly.  With channel packing the forward's window covers
-    # [start_p*pack, (start_p+sub_p)*pack) unpacked rows — derive the dW
-    # layout from the packed layout (starts are packed rows x pack; rel is
-    # already in unpacked units relative to start_p*pack, invalid = sub_p*pack)
-    # since dW reads the plain (unpacked) table.
-    pack, subw = conv_band_params(c_in, c_out, f_in, sub)
-    starts, rel, ok, active = band_layout_union(kmap, c_in, subw, tile,
-                                                pack=pack)
-    if pack > 1:
-        starts = starts * pack
-        subw = subw * pack
+    # Use the SAME window the forward compiled (conv_sub_width) so the drop
+    # set matches exactly.
+    subw = conv_sub_width(c_in, c_out, sub)
+    starts, rel, ok, active = band_layout_union(kmap, c_in, subw, tile)
     feats_p = feats.astype(jnp.bfloat16)
     if f_in < 128:
         feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, 128 - f_in)))
@@ -1081,153 +934,6 @@ def zrun_rank(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     return tr(bits), tr(rank), ok
 
 
-# ---------------------------------------------------------------------------
-# Stem LUT conv: the all-ones k^3 stem straight from packed presence bits
-# ---------------------------------------------------------------------------
-
-def stem_lut_tables(kernel: jnp.ndarray, kz: int) -> jnp.ndarray:
-    """(XY*kz, 1, F) stem kernel -> (XY, 2^kz, F) lookup tables.
-
-    EgoNN's stem convolves constant-ones 1-channel features, so each output
-    voxel's value is a SUM OF KERNEL ROWS selected by its neighbor-presence
-    pattern.  Per xy column the kz z-slots give 2^kz possible patterns:
-    T[xy, v] = sum_s bit_s(v) * W[xy*kz + s].  The stem then needs only the
-    PACKED presence bit-fields (Level.stem_bits) — never the unpacked
-    (B, K, C) int32 kernel map (65 MB at the bench workload) nor the
-    (B, K, C) validity operand of the one-matmul path (sparse_conv_ones)."""
-    xy = kernel.shape[0] // kz
-    f_out = kernel.shape[-1]
-    w = kernel.reshape(xy, kz, f_out).astype(jnp.float32)
-    v = jnp.arange(1 << kz, dtype=jnp.int32)
-    vbits = ((v[:, None] >> jnp.arange(kz)[None, :]) & 1).astype(jnp.float32)
-    return jnp.einsum("vs,xsf->xvf", vbits, w)
-
-
-def stem_bits_conv_xla(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int
-                       ) -> jnp.ndarray:
-    """Reference/fallback path: unpack the bit planes and contract in XLA.
-
-    aligned (B, XY, C) int32 presence bit-fields (bit s of column xy =
-    presence of kernel offset xy*kz + s); kernel (XY*kz, 1, F).
-    Returns (B, C, F) f32 — identical math to sparse_conv_ones on the
-    equivalent kernel map."""
-    b, xy, c = aligned.shape
-    f_out = kernel.shape[-1]
-    w = kernel.reshape(xy, kz, f_out)
-    planes = jnp.stack([(aligned >> s) & 1 for s in range(kz)], axis=2)
-    return jnp.einsum("bxsc,xsf->bcf", planes.astype(jnp.float32), w,
-                      preferred_element_type=jnp.float32)
-
-
-def _pallas_stem_lut(aligned: jnp.ndarray, tables: jnp.ndarray,
-                     kz: int, tile: int = DEFAULT_TILE,
-                     epi_sb: jnp.ndarray | None = None,
-                     epi_valid: jnp.ndarray | None = None,
-                     epi_relu: bool = False,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Pallas kernel: per tile and xy column, an in-register one-hot over the
-    2^kz presence patterns gathers the precomputed table row on the MXU.
-
-    aligned (B, XY, C) int32 in [0, 2^kz); tables (XY, 2^kz, F) bf16;
-    optional fused epilogue as in _pallas_banded_conv.
-    Returns (B, T, tile, F) f32.
-
-    Compute is trivial (XY one-hot (tile, 2^kz) matmuls per tile); the win is
-    HBM traffic: the kernel reads the 4-byte bit-fields per (voxel, column)
-    instead of the kz-times-wider unpacked kernel map, and writes the conv
-    (+BN0/ReLU, fused) output directly.  No whole-tile skip: L0 has no deep
-    capacity slack, and all-zero bit-fields already produce exact zeros
-    (T[xy, 0] == 0)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, xy, c = aligned.shape
-    nv = 1 << kz
-    f_out = tables.shape[-1]
-    assert c % tile == 0 and tables.shape == (xy, nv, f_out)
-    assert tables.dtype == jnp.bfloat16
-    t = c // tile
-    has_epi = epi_sb is not None
-
-    def body(*refs):
-        if has_epi:
-            a_ref, tab_ref, sb_ref, valid_ref, out_ref = refs
-        else:
-            a_ref, tab_ref, out_ref = refs
-            sb_ref = valid_ref = None
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nv), 1)
-        prec = jax.lax.Precision.DEFAULT  # see the conv kernel precision note
-        acc = jnp.zeros((tile, f_out), jnp.float32)
-        for k in range(xy):  # statically unrolled (see conv kernel note)
-            val = a_ref[0, k, :]
-            oh = (val[:, None] == iota).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(oh, tab_ref[k], preferred_element_type=jnp.float32,
-                                precision=prec)
-        if has_epi:
-            acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
-            if epi_relu:
-                acc = jnp.maximum(acc, 0.0)
-            vm = valid_ref[0, 0, 0, :].reshape(tile, 1)
-            acc = jnp.where(vm != 0, acc, 0.0)
-        out_ref[0, 0] = acc
-
-    in_specs = [
-        pl.BlockSpec((1, xy, tile), lambda bi, ti: (bi, 0, ti),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # tables, whole (~100 KB)
-    ]
-    operands = [aligned, tables]
-    if has_epi:
-        in_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (2, F_out) affine
-            # 4D validity for the tiling rule — see _pallas_banded_conv
-            pl.BlockSpec((1, 1, 1, tile), lambda bi, ti: (bi, ti, 0, 0),
-                         memory_space=pltpu.VMEM),  # row validity
-        ]
-        operands += [epi_sb.astype(jnp.float32),
-                     epi_valid.astype(jnp.int32)[:, :, None, :]]
-    return pl.pallas_call(
-        body,
-        grid=(b, t),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
-        interpret=interpret,
-    )(*operands)
-
-
-def stem_lut_conv(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int,
-                  epi: tuple | None = None, tile: int = DEFAULT_TILE,
-                  interpret: bool = False) -> jnp.ndarray:
-    """All-ones stem conv from packed presence bits via the LUT kernel.
-
-    aligned (B, XY, C) int32; kernel (XY*kz, 1, F).  epi as in
-    banded_conv_pallas.  Returns (B, C, F) f32."""
-    b, xy, c = aligned.shape
-    f_out = kernel.shape[-1]
-    if c % tile != 0:
-        out = stem_bits_conv_xla(aligned, kernel, kz)
-        if epi is not None:
-            scale, bias, relu, mask = epi
-            out = out * scale + bias
-            if relu:
-                out = jnp.maximum(out, 0.0)
-            out = jnp.where(mask[..., None], out, 0.0)
-        return out
-    tables = stem_lut_tables(kernel, kz).astype(jnp.bfloat16)
-    if epi is not None:
-        scale, bias, relu, mask = epi
-        epi_sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
-        epi_valid = mask.reshape(b, c // tile, tile).astype(jnp.int32)
-        out = _pallas_stem_lut(aligned, tables, kz, tile, epi_sb=epi_sb,
-                               epi_valid=epi_valid, epi_relu=bool(relu),
-                               interpret=interpret)
-    else:
-        out = _pallas_stem_lut(aligned, tables, kz, tile, interpret=interpret)
-    return out.reshape(b, c, f_out)
-
-
 def zrun_fit(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
              sub: int | None = None, stride: int = DEFAULT_STRIDE,
              tile: int = DEFAULT_TILE):
@@ -1279,7 +985,7 @@ def band_fit_report_traced(pyramid, spec) -> dict:
             _use_banded_lookup, _xy_offsets, _zrun_queries,
         )
 
-        if (lvl.kmap_self is not None or lvl.stem_bits is not None) \
+        if lvl.kmap_self is not None \
                 and spec.capacities[l] % 128 == 0 and _use_banded_lookup():
 
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size

@@ -112,7 +112,7 @@ def band_requirements_traced(pyramid, spec) -> Dict[str, jnp.ndarray]:
         # zrun requirements are computed regardless of whether THIS platform
         # uses the banded lookup (it is TPU-only): a table calibrated on CPU
         # must still carry the zrun widths the TPU run will need
-        if (lvl.kmap_self is not None or lvl.stem_bits is not None) \
+        if lvl.kmap_self is not None \
                 and spec.capacities[l] % 128 == 0:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
             pack_l = spec.pack_at(l)

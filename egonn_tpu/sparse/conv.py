@@ -241,68 +241,6 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
     return out.astype(feats.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def sparse_conv_ones_bits(aligned: jnp.ndarray, kernel: jnp.ndarray, kz: int
-                          ) -> jnp.ndarray:
-    """All-ones stem conv from packed presence bit-fields (Level.stem_bits).
-
-    aligned (B, XY, C) int32 — bit s of column xy = presence of kernel offset
-    xy*kz + s (the aligned zrun output, sparse/pyramid.py); kernel
-    (XY*kz, 1, F).  Returns (B, C, F) f32.
-
-    On TPU this is the LUT Pallas kernel (sparse/banded.py stem_lut_conv):
-    per xy column a 2^kz-row table T[v] = sum_s bit_s(v) W[xy*kz+s] is
-    gathered by an in-register one-hot — the (B, K, C) unpacked kernel map
-    and validity operand never exist.  The backward re-derives dW from the
-    bit planes (the input is constant, so there is no dfeats)."""
-    if USE_BANDED and _on_tpu():
-        from egonn_tpu.sparse.banded import stem_lut_conv
-
-        return stem_lut_conv(aligned, kernel, kz)
-    from egonn_tpu.sparse.banded import stem_bits_conv_xla
-
-    return stem_bits_conv_xla(aligned, kernel, kz)
-
-
-def _ones_bits_fwd(aligned, kernel, kz):
-    return sparse_conv_ones_bits(aligned, kernel, kz), (aligned, kernel.shape)
-
-
-def _ones_bits_bwd(kz, res, g):
-    aligned, kshape = res
-    b, xy, c = aligned.shape
-    # dW[xy*kz+s, 0, :] = sum_{b,c} bit_s(aligned[b,xy,c]) * g[b,c,:] —
-    # scanned over xy so the unpacked planes never exceed (B, kz, C)
-    def step(_, a_x):
-        planes = jnp.stack([(a_x >> s) & 1 for s in range(kz)], axis=1)
-        return None, jnp.einsum("bsc,bcf->sf", planes.astype(g.dtype), g,
-                                preferred_element_type=jnp.float32)
-
-    _, dw = jax.lax.scan(step, None, jnp.swapaxes(aligned, 0, 1))
-    return None, dw.reshape(kshape).astype(jnp.float32)
-
-
-sparse_conv_ones_bits.defvjp(_ones_bits_fwd, _ones_bits_bwd)
-
-
-def sparse_conv_ones_bits_epi(aligned: jnp.ndarray, kernel: jnp.ndarray,
-                              kz: int, epi: tuple) -> jnp.ndarray:
-    """Eval-only fused variant (BN affine + ReLU + mask in the LUT kernel's
-    output write); never differentiated."""
-    if USE_BANDED and _on_tpu():
-        from egonn_tpu.sparse.banded import stem_lut_conv
-
-        return stem_lut_conv(aligned, kernel, kz, epi=epi)
-    from egonn_tpu.sparse.banded import stem_bits_conv_xla
-
-    out = stem_bits_conv_xla(aligned, kernel, kz)
-    scale, bias, relu, mask = epi
-    out = out * scale + bias
-    if relu:
-        out = jnp.maximum(out, 0.0)
-    return jnp.where(mask[..., None], out, 0.0)
-
-
 def sparse_conv_ones(kmap: jnp.ndarray, kernel: jnp.ndarray, n_in_rows: int,
                      dtype=jnp.float32) -> jnp.ndarray:
     """Stem conv over constant-ones 1-channel features.

@@ -58,12 +58,6 @@ from egonn_tpu.sparse.packing import (
 )
 from egonn_tpu.sparse.types import Level, Pyramid
 
-import os as _os
-
-# Dedup-chain permutation inversion: scatter (1) vs second sort (0, default).
-# A/B candidate — see _dedup_chain_single.
-_INV_SCATTER = _os.environ.get("EGONN_INV_SCATTER", "0") == "1"
-
 from egonn_tpu.sparse.bitonic import bitonic_sort as _bitonic_sort
 from egonn_tpu.sparse.bitonic import use_psort as _use_psort
 
@@ -162,19 +156,6 @@ def _use_banded_lookup() -> bool:
     from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
 
     return USE_BANDED and _on_tpu()
-
-
-def _use_stem_bits() -> bool:
-    """All-ones stems consume packed presence bit-fields (Level.stem_bits)
-    through the LUT conv instead of an unpacked kernel map.  EGONN_STEM_LUT=1
-    enables it; the default is the unpacked kmap + sparse_conv_ones path —
-    the on-chip A/B (round 3) measured the LUT consistently SLOWER end-to-end
-    (320 vs 365 clouds/s): the 125 per-column one-hot (tile, 32) matmuls are
-    too skinny for the MXU and the saved kmap traffic overlaps with compute
-    anyway."""
-    import os
-
-    return os.environ.get("EGONN_STEM_LUT", "0") == "1"
 
 
 def _zrun_queries(coords_t: jnp.ndarray, mask: jnp.ndarray,
@@ -290,14 +271,11 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
         pr = jnp.where((sk != MAXKEY) & (rank < cap_l), rank, cap_l
                        ).astype(jnp.int32)
-        # back to fine order: invert the sort permutation.  Two candidates,
-        # A/B-gated (EGONN_INV_SCATTER): a second lax.sort keyed by sp, or a
-        # unique-indices scatter (sp IS a permutation, so targets never
-        # collide — no serialization hazard).
-        if _INV_SCATTER:
-            up_par = jnp.zeros((n,), jnp.int32).at[sp].set(
-                pr, mode="promise_in_bounds", unique_indices=True)
-        elif _use_psort(n):
+        # back to fine order: invert the sort permutation with a second sort
+        # keyed by sp.  (A unique-indices scatter was A/B'd on chip and LOST,
+        # 402 vs 430 clouds/s, round-4 matrix — XLA's scatter lowering beats
+        # the sort only at much smaller sizes.)
+        if _use_psort(n):
             _, up_par = _bitonic_sort(sp, pr)
         else:
             _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
@@ -377,16 +355,10 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
         return out.reshape(bsz, 8, c_coarse)
 
     def _self_kmap_banded(lvl_keys, lvl_coords, lvl_masks, k, pack_l, cl,
-                          presence_only, bits_mode=False):
+                          presence_only):
         """Self k^3 kernel map via the z-run kernels: one banded pass per xy
         column yields all kz z-slots (presence bits; + rank for positions).
-        Exact runtime fallback to the full per-key lookup when bands overflow.
-
-        bits_mode=True (all-ones stems, Level.stem_bits) returns the ALIGNED
-        presence bit-fields (B, XY, C) int32 instead of unpacking them into a
-        (B, XY*k, C) kernel map — the stem LUT conv (sparse/banded.py
-        stem_lut_conv) consumes the bit-fields directly, so the k-times-wider
-        unpacked map never touches HBM."""
+        Exact runtime fallback to the full per-key lookup when bands overflow."""
         from egonn_tpu.sparse.banded import zrun_presence, zrun_rank
 
         b = lvl_coords.shape[0]
@@ -424,22 +396,6 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
 
         from egonn_tpu.sparse.banded import FALLBACK
 
-        if bits_mode:
-            def bits_aligned():
-                return (bits & top[:, None, :]) << jshift[:, None, :]
-
-            def bits_from_lookup():
-                # exact fallback: repack the per-key lookup's presence pattern
-                # into the same aligned bit-field layout
-                pos = full_lookup().reshape(b, len(xy), k, cl)
-                pres = (pos != cl).astype(jnp.int32)
-                shifts = jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
-                return jnp.sum(pres << shifts, axis=2)
-
-            if not FALLBACK:
-                return bits_aligned()
-            return jax.lax.cond(zok, bits_aligned, bits_from_lookup)
-
         if not FALLBACK:
             return from_bits()
         return jax.lax.cond(zok, from_bits, full_lookup)
@@ -448,22 +404,13 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     for l in range(spec.num_levels + 1):
         pack_l = spec.pack_at(l)
         kmap_self = None
-        stem_bits = None
         if (l == 0 or l in spec.self_levels) and _use_banded_lookup() \
                 and spec.capacities[l] % 128 == 0:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
-            if l == 0 and spec.conv0_ones and _use_stem_bits():
-                # all-ones stem: keep the packed presence bit-fields; the
-                # unpacked (B, K, C) kernel map is never materialized
-                stem_bits = _self_kmap_banded(
-                    keys[l], coords[l], masks[l], k, pack_l,
-                    spec.capacities[l], presence_only=True, bits_mode=True,
-                )
-            else:
-                kmap_self = _self_kmap_banded(
-                    keys[l], coords[l], masks[l], k, pack_l, spec.capacities[l],
-                    presence_only=(l == 0 and spec.conv0_ones),
-                )
+            kmap_self = _self_kmap_banded(
+                keys[l], coords[l], masks[l], k, pack_l, spec.capacities[l],
+                presence_only=(l == 0 and spec.conv0_ones),
+            )
         elif l == 0 or l in spec.self_levels:
             k = spec.conv0_kernel_size if l == 0 else spec.block_kernel_size
             q = jax.vmap(
@@ -499,7 +446,6 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
                     src_idx if l == 0 and keys0 is None and spec.need_source_index
                     else None
                 ),
-                stem_bits=stem_bits,
             )
         )
     return Pyramid(levels=tuple(levels))

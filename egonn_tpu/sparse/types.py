@@ -45,12 +45,6 @@ class Level:
     up_koffset: Optional[jnp.ndarray] = None  # (B, C) int32 in [0, 8) kernel slot
     source_index: Optional[jnp.ndarray] = None  # (B, C) level-0 only: input row of
                                                 # each (key-sorted) voxel
-    stem_bits: Optional[jnp.ndarray] = None     # (B, XY, C) level-0 only, all-ones
-                                                # stems: aligned presence bit-fields
-                                                # (bit s of column xy = presence of
-                                                # kernel offset xy*k + s); replaces
-                                                # the unpacked kmap_self for conv0
-                                                # (see conv.sparse_conv_ones_bits)
 
     @property
     def capacity(self) -> int:

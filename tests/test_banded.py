@@ -69,83 +69,6 @@ def test_banded_matches_plain_on_real_bands(rng):
     assert err / scale < 3e-2, err / scale
 
 
-@pytest.mark.parametrize("f_in", [32, 64])
-@pytest.mark.parametrize("mode", ["wsel", "roll"])
-def test_banded_packed_matches_plain(rng, f_in, mode, monkeypatch):
-    """Channel-packed kernels (f_in 32 -> pack 4, 64 -> pack 2) reproduce the
-    gather conv bit-for-bit at bf16 numerics, on a real self map AND a real
-    down-style map (c_in > c_out), in BOTH group-alignment modes ("wsel"
-    pre-shifted weight variants, "roll" lane rotations).  Packing is opt-in
-    (EGONN_CONV_PACK=1), so enable it explicitly here to keep the path
-    covered."""
-    import egonn_tpu.sparse.banded as banded_mod
-    from egonn_tpu.sparse.banded import conv_band_params
-
-    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
-    monkeypatch.setattr(banded_mod, "PACK_MODE", mode)
-    pyr = _real_pyramid(rng)
-    for lvl_in, kmap in [(pyr[1], pyr[1].kmap_self), (pyr[1], pyr[2].kmap_down)]:
-        c_in = lvl_in.coords.shape[-1]
-        k = kmap.shape[1]
-        pack, sub = conv_band_params(c_in, kmap.shape[-1], f_in)
-        assert pack == 128 // f_in, (pack, f_in)
-        feats = jnp.asarray(
-            (rng.standard_normal((2, c_in, f_in))
-             * np.asarray(lvl_in.mask)[..., None]).astype(np.float32)
-        )
-        kernel = jnp.asarray(
-            rng.standard_normal((k, f_in, f_in)).astype(np.float32) * 0.2)
-        got = banded_conv_pallas(feats, kmap, kernel, interpret=True)
-        want = _plain_bf16(feats, kmap, kernel)
-        err = float(jnp.max(jnp.abs(got - want)))
-        scale = float(jnp.max(jnp.abs(want))) + 1e-9
-        assert err / scale < 3e-2, (err / scale, kmap.shape)
-
-
-def test_packed_modes_bit_identical(rng, monkeypatch):
-    """"wsel", "wcat" and "roll" group alignment produce bit-identical outputs
-    (same nonzero partial products, f32 accumulation, +0.0 terms exact;
-    "wcat" computes the same columns in one wider dot)."""
-    import egonn_tpu.sparse.banded as banded_mod
-
-    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
-    pyr = _real_pyramid(rng)
-    lvl, kmap = pyr[1], pyr[1].kmap_self
-    c_in = lvl.coords.shape[-1]
-    k, f_in = kmap.shape[1], 32
-    feats = jnp.asarray(
-        (rng.standard_normal((2, c_in, f_in))
-         * np.asarray(lvl.mask)[..., None]).astype(np.float32))
-    kernel = jnp.asarray(rng.standard_normal((k, f_in, f_in)).astype(np.float32) * 0.2)
-    outs = {}
-    for mode in ("wsel", "roll", "wcat"):
-        monkeypatch.setattr(banded_mod, "PACK_MODE", mode)
-        outs[mode] = np.asarray(banded_conv_pallas(feats, kmap, kernel, interpret=True))
-    np.testing.assert_array_equal(outs["wsel"], outs["roll"])
-    np.testing.assert_array_equal(outs["wsel"], outs["wcat"])
-
-
-def test_packed_layout_rel_encoding(rng):
-    """band_layout_union(pack>1): starts are 16-aligned packed rows and rel
-    decodes to (packed row, lane group) = (km // pack - start, km % pack)."""
-    from egonn_tpu.sparse.banded import band_layout_union
-
-    pack, sub, tile = 4, 80, 128
-    c_in = 1024
-    base = rng.integers(0, c_in - sub * pack, size=(1, 3, 2))
-    kmap = (base[..., None] + rng.integers(0, sub * pack - 64, size=(1, 3, 2, tile))
-            ).reshape(1, 3, 2 * tile).astype(np.int32)
-    starts, rel, ok, _ = band_layout_union(jnp.asarray(kmap), c_in, sub, tile,
-                                        pack=pack)
-    assert bool(ok)
-    s = np.asarray(starts)
-    r = np.asarray(rel)
-    assert np.all(s % 16 == 0)
-    km = kmap.reshape(1, 3, 2, tile).transpose(0, 2, 1, 3)
-    np.testing.assert_array_equal(km // pack - s[..., None], r >> 2)
-    np.testing.assert_array_equal(km % pack, r & 3)
-
-
 def test_banded_fallback_on_scattered_kmap(rng, monkeypatch):
     """A random (non-banded) kmap must trip the ok flag, and with the lax.cond
     fallback enabled (EGONN_BANDED_FALLBACK semantics) produce EXACTLY the
@@ -203,70 +126,6 @@ def test_banded_epilogue_matches_manual(rng):
                                    rtol=1e-5, atol=1e-6)
         # structure is exact: masked rows are exactly zero
         assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
-
-
-def _bits_from_kmap(kmap, cap, k):
-    """Pack a (B, XY*k, C) kernel map's presence pattern into the aligned
-    (B, XY, C) bit-field layout of Level.stem_bits."""
-    b, kk, c = kmap.shape
-    pres = (np.asarray(kmap) != cap).reshape(b, kk // k, k, c)
-    return jnp.asarray(
-        np.sum(pres.astype(np.int64) << np.arange(k)[None, None, :, None],
-               axis=2).astype(np.int32))
-
-
-def test_stem_lut_matches_ones_conv(rng):
-    """stem_lut_conv (interpret) and stem_bits_conv_xla both reproduce the
-    kmap validity matmul (sparse_conv_ones) on a real pyramid's level 0."""
-    from egonn_tpu.sparse.banded import stem_bits_conv_xla, stem_lut_conv
-    from egonn_tpu.sparse.conv import sparse_conv_ones
-
-    pyr = _real_pyramid(rng)
-    lvl = pyr[0]
-    cap = lvl.mask.shape[-1]
-    k = 5
-    kmap = lvl.kmap_self
-    assert kmap.shape[1] == k ** 3
-    bits = _bits_from_kmap(kmap, cap, k)
-    f = 16
-    kernel = jnp.asarray(rng.standard_normal((k ** 3, 1, f)).astype(np.float32) * 0.2)
-    want = sparse_conv_ones(kmap, kernel, cap)
-    got_xla = stem_bits_conv_xla(bits, kernel, k)
-    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-    got_lut = stem_lut_conv(bits, kernel, k, interpret=True)
-    err = float(jnp.max(jnp.abs(got_lut - want)))
-    scale = float(jnp.max(jnp.abs(want))) + 1e-9
-    assert err / scale < 3e-2, err / scale  # LUT rows are bf16-rounded sums
-
-    # fused epilogue variant: same math as XLA-applied epilogue on the raw out
-    s = jnp.asarray(rng.uniform(0.5, 2.0, f).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(f).astype(np.float32))
-    got_e = stem_lut_conv(bits, kernel, k, epi=(s, b, True, lvl.mask),
-                          interpret=True)
-    want_e = jnp.where(lvl.mask[..., None],
-                       jnp.maximum(got_lut * s + b, 0.0), 0.0)
-    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
-                               rtol=1e-5, atol=1e-6)
-
-
-def test_stem_bits_grads_match_autodiff(rng):
-    """sparse_conv_ones_bits' custom VJP (scanned dW re-derivation) matches
-    autodiff of the plane-unpack einsum."""
-    from egonn_tpu.sparse.banded import stem_bits_conv_xla
-    from egonn_tpu.sparse.conv import sparse_conv_ones_bits
-
-    pyr = _real_pyramid(rng)
-    lvl = pyr[0]
-    cap = lvl.mask.shape[-1]
-    k = 5
-    bits = _bits_from_kmap(lvl.kmap_self, cap, k)
-    f = 8
-    kernel = jnp.asarray(rng.standard_normal((k ** 3, 1, f)).astype(np.float32) * 0.2)
-    cot = jnp.asarray(rng.standard_normal((bits.shape[0], cap, f)).astype(np.float32))
-    g1 = jax.grad(lambda w: jnp.sum(sparse_conv_ones_bits(bits, w, k) * cot))(kernel)
-    g2 = jax.grad(lambda w: jnp.sum(stem_bits_conv_xla(bits, w, k) * cot))(kernel)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
 
 
 def test_band_layout_union_alignment(rng):
@@ -351,31 +210,6 @@ def test_banded_dw_matches_gather_backward(rng):
         err = float(jnp.max(jnp.abs(got - want)))
         scale = float(jnp.max(jnp.abs(want))) + 1e-9
         assert err / scale < 3e-2, (lbl, err / scale)
-
-
-def test_banded_dw_packed_window_layout(rng, monkeypatch):
-    """With channel packing enabled, the dW layout derives from the forward's
-    PACKED window (same drop set); on fitting bands it still matches the exact
-    backward."""
-    import egonn_tpu.sparse.banded as bd
-    from egonn_tpu.sparse.banded import banded_conv_dw
-    from egonn_tpu.sparse.conv import _conv_dkernel_gather
-
-    monkeypatch.setattr(bd, "PACK_ENABLED", True)
-    pyr = _real_pyramid(rng)
-    kmap = pyr[1].kmap_self
-    c_in = pyr[1].coords.shape[-1]
-    f_in, f_out = 32, 16  # pack = 128 // 32 = 4
-    feats = jnp.asarray(rng.standard_normal((2, c_in, f_in)).astype(np.float32))
-    g = jnp.asarray(rng.standard_normal((2, kmap.shape[-1], f_out)
-                                        ).astype(np.float32))
-    got = banded_conv_dw(feats, kmap, g, interpret=True)
-    want = _conv_dkernel_gather(
-        feats.astype(jnp.bfloat16).astype(jnp.float32), kmap,
-        g.astype(jnp.bfloat16).astype(jnp.float32))
-    err = float(jnp.max(jnp.abs(got - want)))
-    scale = float(jnp.max(jnp.abs(want))) + 1e-9
-    assert err / scale < 3e-2, err / scale
 
 
 def test_banded_dw_ineligible_returns_none(rng):

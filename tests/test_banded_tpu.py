@@ -56,19 +56,10 @@ def real_pyramid_pair():
 def test_kernel_maps_bit_identical(real_pyramid_pair):
     p_banded, p_ref, spec = real_pyramid_pair
     cap0 = spec.capacities[0]
-    # level 0 is presence-only under conv0_ones: compare validity patterns.
-    # With EGONN_STEM_LUT (default) the banded pyramid keeps packed bit-fields
-    # (Level.stem_bits) instead of an unpacked kmap — unpack and compare.
+    # level 0 is presence-only under conv0_ones: compare validity patterns
     ref_valid = np.asarray(p_ref[0].kmap_self) < cap0
-    if p_banded[0].stem_bits is not None:
-        bits = np.asarray(p_banded[0].stem_bits)  # (B, XY, C)
-        k = spec.conv0_kernel_size
-        pres = np.stack([(bits >> s) & 1 for s in range(k)], axis=2)
-        pres = pres.reshape(bits.shape[0], -1, bits.shape[-1]).astype(bool)
-        np.testing.assert_array_equal(pres, ref_valid)
-    else:
-        np.testing.assert_array_equal(
-            np.asarray(p_banded[0].kmap_self) < cap0, ref_valid)
+    np.testing.assert_array_equal(
+        np.asarray(p_banded[0].kmap_self) < cap0, ref_valid)
     for l in range(1, spec.num_levels + 1):
         np.testing.assert_array_equal(
             np.asarray(p_banded[l].kmap_self), np.asarray(p_ref[l].kmap_self),
@@ -83,16 +74,11 @@ def test_kernel_maps_bit_identical(real_pyramid_pair):
 
 @pytest.mark.parametrize("f,style", [(64, "self"), (32, "self"), (128, "self"),
                                      (32, "down"), (64, "down")])
-def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style,
-                                            monkeypatch):
-    """Covers every channel-pack factor (f=32 -> pack 4, f=64 -> pack 2,
-    f=128 -> unpacked) on self AND down-style maps.  Packing is opt-in
-    (EGONN_CONV_PACK — banded.PACK_ENABLED), forced on here so the on-chip
-    tier keeps validating the packed kernel path."""
-    import egonn_tpu.sparse.banded as banded_mod
+def test_banded_conv_matches_gather_at_bf16(real_pyramid_pair, f, style):
+    """Banded conv vs the exact gather engine across the EgoNN channel
+    widths, on self AND down-style maps."""
     from egonn_tpu.sparse.banded import _plain_gather_conv, banded_conv_pallas
 
-    monkeypatch.setattr(banded_mod, "PACK_ENABLED", True)
     p_banded, _, _ = real_pyramid_pair
     rng = np.random.default_rng(1)
     if style == "self":
@@ -141,39 +127,6 @@ def test_banded_conv_epilogue_on_chip(real_pyramid_pair):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
     assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
-
-
-def test_stem_lut_matches_ones_conv_on_chip(real_pyramid_pair):
-    """The packed-bits LUT stem (stem_lut_conv) reproduces the kmap validity
-    matmul (sparse_conv_ones) at bf16 tolerance on the real chip, with and
-    without the fused BN0 epilogue."""
-    from egonn_tpu.sparse.banded import stem_lut_conv
-    from egonn_tpu.sparse.conv import sparse_conv_ones
-
-    p_banded, p_ref, spec = real_pyramid_pair
-    cap0 = spec.capacities[0]
-    k = spec.conv0_kernel_size
-    kmap = p_ref[0].kmap_self  # exact engine's unpacked map
-    assert p_banded[0].stem_bits is not None
-    bits = p_banded[0].stem_bits
-    rng = np.random.default_rng(3)
-    f = 32
-    kernel = jnp.asarray(
-        rng.standard_normal((k ** 3, 1, f)).astype(np.float32) * 0.2)
-    got = jax.jit(lambda a: stem_lut_conv(a, kernel, k))(bits)
-    want = jax.jit(lambda m: sparse_conv_ones(m, kernel, cap0))(kmap)
-    err = float(jnp.max(jnp.abs(got - want)))
-    scale_ = float(jnp.max(jnp.abs(want))) + 1e-9
-    assert err / scale_ < 3e-2, err / scale_
-
-    scale = jnp.asarray(rng.uniform(0.5, 2.0, f).astype(np.float32))
-    bias = jnp.asarray(rng.standard_normal(f).astype(np.float32))
-    mask = p_banded[0].mask
-    got_e = jax.jit(lambda a: stem_lut_conv(
-        a, kernel, k, epi=(scale, bias, True, mask)))(bits)
-    want_e = jnp.where(mask[..., None], jnp.maximum(got * scale + bias, 0.0), 0.0)
-    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
-                               rtol=1e-5, atol=1e-5)
 
 
 def test_bitonic_sort_on_chip():

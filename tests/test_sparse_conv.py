@@ -243,31 +243,3 @@ def test_custom_vjp_grads_match_autodiff(rng):
         argnums=(0, 1))(feats1, k8)
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-4)
-
-
-def test_inv_scatter_matches_sort_inversion(monkeypatch):
-    """The dedup chain's permutation inversion has two implementations
-    (EGONN_INV_SCATTER): a second lax.sort and a unique-indices scatter.
-    The whole pyramid must be identical under both."""
-    import egonn_tpu.sparse.pyramid as pyr_mod
-
-    rng = np.random.default_rng(11)
-    coords, mask = make_voxels(rng, b=2, cap=128, n_valid=97, lo=-8, hi=9)
-    spec = spec_for(128, num_levels=3)
-    ct = jnp.asarray(coords.transpose(0, 2, 1))
-    mk = jnp.asarray(mask)
-
-    monkeypatch.setattr(pyr_mod, "_INV_SCATTER", False)
-    a = jax.jit(lambda c, m: build_pyramid(c, m, spec))(ct, mk)
-    monkeypatch.setattr(pyr_mod, "_INV_SCATTER", True)
-    b = jax.jit(lambda c, m: build_pyramid(c, m, spec))(ct, mk)
-
-    for la, lb in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(la.coords), np.asarray(lb.coords))
-        np.testing.assert_array_equal(np.asarray(la.mask), np.asarray(lb.mask))
-        np.testing.assert_array_equal(np.asarray(la.up_parent) if la.up_parent is not None else 0,
-                                      np.asarray(lb.up_parent) if lb.up_parent is not None else 0)
-        if la.kmap_self is not None:
-            np.testing.assert_array_equal(np.asarray(la.kmap_self), np.asarray(lb.kmap_self))
-        if la.kmap_down is not None:
-            np.testing.assert_array_equal(np.asarray(la.kmap_down), np.asarray(lb.kmap_down))

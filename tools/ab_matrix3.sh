@@ -47,10 +47,6 @@ for pass in $(seq 1 "$MAX_PASSES"); do
   run nocalib         EGONN_BENCH_CALIB=0                             || fail=1
   run fuse_bn_off     EGONN_FUSE_BN=0                                 || fail=1
   run banded_dw_off   EGONN_BANDED_DW=0                               || fail=1
-  run conv_pack_wsel  EGONN_CONV_PACK=1 EGONN_CONV_PACK_MODE=wsel     || fail=1
-  run conv_pack_wcat  EGONN_CONV_PACK=1 EGONN_CONV_PACK_MODE=wcat     || fail=1
-  run stem_lut        EGONN_STEM_LUT=1                                || fail=1
-  run inv_scatter     EGONN_INV_SCATTER=1                             || fail=1
   run psort_reshape   EGONN_PSORT=1 EGONN_PSORT_CE=reshape            || fail=1
   run psort_roll      EGONN_PSORT=1 EGONN_PSORT_CE=roll               || fail=1
   run batch16         EGONN_BENCH_BATCH=16                            || fail=1
