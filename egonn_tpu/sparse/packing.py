@@ -152,22 +152,14 @@ def sorted_unique(coords_t: jnp.ndarray | None, mask: jnp.ndarray | None,
         sorted_keys = keys
         sorted_rows = jnp.arange(n, dtype=jnp.int32) if need_index else None
     elif need_index:
-        from egonn_tpu.sparse.bitonic import bitonic_sort, use_psort
         rows = jnp.arange(n, dtype=jnp.int32)
-        if use_psort(n):
-            # the Pallas sorter tie-breaks equal keys on the payload, which IS
-            # a stable key sort when the payload is the row index — preserving
-            # first-point-per-voxel semantics
-            sorted_keys, sorted_rows = bitonic_sort(keys, rows)
-        else:
-            sorted_keys, sorted_rows = jax.lax.sort((keys, rows), num_keys=1,
-                                                    is_stable=True)
+        sorted_keys, sorted_rows = jax.lax.sort((keys, rows), num_keys=1,
+                                                is_stable=True)
     else:
-        from egonn_tpu.sparse.bitonic import bitonic_sort, use_psort
-        if use_psort(n):
-            sorted_keys = bitonic_sort(keys)  # in-VMEM Pallas network
-        else:
-            sorted_keys = jax.lax.sort(keys)
+        # plain lax.sort: an in-VMEM Pallas bitonic network was built and
+        # A/B'd on chip (round 4) and LOST, 411 vs 430 clouds/s — XLA's
+        # HBM-streamed merge passes beat the VMEM network at 65k keys
+        sorted_keys = jax.lax.sort(keys)
         sorted_rows = None
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     is_first = (sorted_keys != prev) & (sorted_keys != MAXKEY)

@@ -58,9 +58,6 @@ from egonn_tpu.sparse.packing import (
 )
 from egonn_tpu.sparse.types import Level, Pyramid
 
-from egonn_tpu.sparse.bitonic import bitonic_sort as _bitonic_sort
-from egonn_tpu.sparse.bitonic import use_psort as _use_psort
-
 
 def kernel_offsets(kernel_size: int) -> np.ndarray:
     """(K, 3) int32 offsets. Odd kernels are centered (-k//2..k//2), even kernels
@@ -261,11 +258,8 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         # NOTE: halving does NOT preserve sortedness (collapsing a higher field
         # makes the comparison fall through to lower fields), so a re-sort is
         # needed — dual-operand to carry the fine position for the up map.
-        if _use_psort(n):
-            sk, sp = _bitonic_sort(down_keys, fine_pos)
-        else:
-            sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1,
-                                  is_stable=False)
+        sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1,
+                              is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
         is_first = (sk != prev) & (sk != MAXKEY)
         rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
@@ -274,11 +268,10 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         # back to fine order: invert the sort permutation with a second sort
         # keyed by sp.  (A unique-indices scatter was A/B'd on chip and LOST,
         # 402 vs 430 clouds/s, round-4 matrix — XLA's scatter lowering beats
-        # the sort only at much smaller sizes.)
-        if _use_psort(n):
-            _, up_par = _bitonic_sort(sp, pr)
-        else:
-            _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
+        # the sort only at much smaller sizes.  An in-VMEM Pallas bitonic
+        # sorter for these sorts also LOST, 411 vs 430 — XLA's HBM-streamed
+        # merge passes beat the VMEM network's VPU compare cost at 65k.)
+        _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)
         # compaction by rank-shift (see packing.compact_ranked): ~2x cheaper
         # than the second sort it replaces

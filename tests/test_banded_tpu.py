@@ -129,26 +129,6 @@ def test_banded_conv_epilogue_on_chip(real_pyramid_pair):
     assert np.all(np.asarray(got)[~np.asarray(lvl.mask)] == 0)
 
 
-def test_bitonic_sort_on_chip():
-    """Pallas bitonic sorter at production shapes on real Mosaic: bit-equal to
-    the XLA sort, dual-operand pairs intact (sparse/bitonic.py)."""
-    from egonn_tpu.sparse.bitonic import bitonic_sort
-
-    rng = np.random.default_rng(7)
-    x = rng.integers(0, 2**31 - 1, size=(8, 65536), dtype=np.int32)
-    s = jax.jit(bitonic_sort)(jnp.asarray(x))
-    np.testing.assert_array_equal(np.asarray(s), np.sort(x, axis=-1))
-
-    k = rng.integers(0, 4096, size=(4, 16384), dtype=np.int32)
-    p = np.tile(np.arange(16384, dtype=np.int32), (4, 1))
-    ks, ps = jax.jit(lambda a, b: bitonic_sort(a, b))(jnp.asarray(k),
-                                                      jnp.asarray(p))
-    ks, ps = np.asarray(ks), np.asarray(ps)
-    np.testing.assert_array_equal(ks, np.sort(k, axis=-1))
-    for i in range(4):
-        np.testing.assert_array_equal(k[i][ps[i]], ks[i])
-
-
 def test_banded_dw_on_chip(real_pyramid_pair):
     """Fused banded dW kernel vs the exact XLA re-gather backward on real
     Mosaic at production-like shapes (self + down maps)."""

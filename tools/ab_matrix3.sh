@@ -47,8 +47,6 @@ for pass in $(seq 1 "$MAX_PASSES"); do
   run nocalib         EGONN_BENCH_CALIB=0                             || fail=1
   run fuse_bn_off     EGONN_FUSE_BN=0                                 || fail=1
   run banded_dw_off   EGONN_BANDED_DW=0                               || fail=1
-  run psort_reshape   EGONN_PSORT=1 EGONN_PSORT_CE=reshape            || fail=1
-  run psort_roll      EGONN_PSORT=1 EGONN_PSORT_CE=roll               || fail=1
   run batch16         EGONN_BENCH_BATCH=16                            || fail=1
   run batch32         EGONN_BENCH_BATCH=32                            || fail=1
   [ $fail -eq 0 ] && break
