@@ -98,7 +98,8 @@ def main():
     def preprocess(clouds, mask, rng_key):
         p = device_preprocess_global(clouds, mask, q, spec, rng_key=rng_key,
                                      aug_mode=params.aug_mode)
-        return p.levels[0].feats_mask.sum()
+        # depend on every pyramid leaf so nothing is dead-code-eliminated
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(p))
 
     @jax.jit
     def forward_only(st, g, l, rng_key):
@@ -131,7 +132,7 @@ def main():
         return val, jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(jnp.abs(x)), grads, 0.0)
 
-    def time_slice(name, fn, *args_maker):
+    def time_slice(name, fn, args_maker):
         # args_maker: callable(i) -> args tuple (varied per iteration)
         out = fn(*args_maker(0))
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
