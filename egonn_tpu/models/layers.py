@@ -74,6 +74,14 @@ class SparseConv(nn.Module):
         if epi is not None:
             # eval-only fused conv + BN-affine (+ReLU) + mask: the custom-VJP
             # wrappers below are a backward-pass concern — never differentiated
+            if (up_parent is not None and self.kernel_volume == 8
+                    and sconv.TDOWN):
+                # transposed form: consumes the up map, so kmap_down (and its
+                # inversion scatter) is dead code in the inference jit
+                mask = epi[3]
+                return sconv.sparse_tdown(feats, up_parent, up_koffset,
+                                          kernel, mask.shape[-1], mask,
+                                          epi=epi)
             return sconv.sparse_conv(feats, kmap, kernel, epi=epi)
         if up_parent is not None:
             # k=2 s=2 downsampling conv: gather-only backward via the up map

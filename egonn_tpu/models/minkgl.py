@@ -83,9 +83,12 @@ class MinkTrunk(nn.Module):
             conv_i = SparseConv(inplanes, inplanes, 8, kaiming=True, name=f"conv{i}")
             bn_i = SparseBatchNorm(inplanes, name=f"bn{i}")
             if not train and sconv.FUSE_BN_EVAL:
-                # eval: BN affine + ReLU + mask fused into the conv epilogue
+                # eval: BN affine + ReLU + mask fused into the conv epilogue;
+                # up maps passed so the transposed down conv (sparse_tdown)
+                # can skip kmap_down entirely
                 s, bshift = bn_i.affine()
-                x = conv_i(x, lvl.kmap_down, epi=(s, bshift, True, lvl.mask))
+                x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset,
+                           epi=(s, bshift, True, lvl.mask))
             else:
                 x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
                 x = bn_i(x, lvl.mask, train)

@@ -71,7 +71,8 @@ class MinkFPN(nn.Module):
             if not train and sconv.FUSE_BN_EVAL:
                 # eval: BN affine + ReLU + mask fused into the conv epilogue
                 s, b = bn_l.affine()
-                x = conv_l(x, lvl.kmap_down, epi=(s, b, True, lvl.mask))
+                x = conv_l(x, lvl.kmap_down, prev.up_parent, prev.up_koffset,
+                           epi=(s, b, True, lvl.mask))
             else:
                 x = conv_l(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
                 x = bn_l(x, lvl.mask, train)

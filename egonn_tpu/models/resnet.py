@@ -101,7 +101,8 @@ class ResNetBase(nn.Module):
             if not train and sconv.FUSE_BN_EVAL:
                 # eval: BN affine + ReLU + mask fused into the conv epilogue
                 s, b = bn_i.affine()
-                x = conv_i(x, lvl.kmap_down, epi=(s, b, True, lvl.mask))
+                x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset,
+                           epi=(s, b, True, lvl.mask))
             else:
                 x = conv_i(x, lvl.kmap_down, prev.up_parent, prev.up_koffset)
                 x = bn_i(x, lvl.mask, train)

@@ -393,6 +393,255 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                         lambda: _epi_xla(_plain_gather_conv(feats, kmap, kernel)))
 
 
+def tdown_sub_width(c_fine: int, c_coarse: int, sub: int | None = None) -> int:
+    """Window width for the TRANSPOSED down conv (banded_tdown_pallas).
+
+    The window covers, per coarse tile, the fine-row hull [first fine row with
+    parent >= tile_lo, last fine row with parent < tile_hi] — the same span
+    band_layout_union measures on kmap_down, plus the wider 128-row start
+    alignment (the kernel slices the fine table and the up-map chunks at
+    128-row granularity) and the hull slack from non-monotone parents.
+    Calibration key "tdown:{c_fine}:{c_coarse}"; the default derives from the
+    kmap-down conv width + one 128 chunk of alignment/hull margin."""
+    explicit = sub is not None
+    if not explicit:
+        sub = conv_sub_width(c_fine, c_coarse) + 128
+        sub = _calibrated(f"tdown:{c_fine}:{c_coarse}", sub)
+    sub = -(-sub // 128) * 128  # 128-chunked window
+    return min(sub, c_fine)
+
+
+def tdown_layout(up_parent: jnp.ndarray, c_coarse: int, sub: int,
+                 tile: int = DEFAULT_TILE):
+    """Per-coarse-tile 128-aligned window starts into the FINE table, computed
+    from the up map alone (no kmap_down -> no inversion scatter).
+
+    Parents are near-monotone in (key-sorted) fine index — the same banded
+    invariant kmap_down rides — so the fine rows feeding coarse tile t lie in
+    the hull [first i: cummax(parent) >= t*tile, last i: revcummin(parent) <
+    (t+1)*tile].  Returns starts (B, T) int32 multiples of 128 and ok ()
+    bool — True iff every hull fits the `sub` window (out-of-window children
+    are dropped by the kernel: the standard drop-and-report band policy)."""
+    b, c_fine = up_parent.shape
+    t = c_coarse // tile
+    valid = up_parent < c_coarse
+    lo = jnp.where(valid, up_parent, -1)
+    m = jax.lax.cummax(lo, axis=1)                                   # nondecr
+    hi = jnp.where(valid, up_parent, jnp.int32(2**30))
+    rm = jnp.flip(jax.lax.cummin(jnp.flip(hi, 1), axis=1), 1)        # nondecr
+    bounds = jnp.arange(t, dtype=jnp.int32) * tile
+    first = jax.vmap(lambda mm: jnp.searchsorted(mm, bounds, side="left"))(m)
+    end = jax.vmap(lambda mm: jnp.searchsorted(mm, bounds + tile, side="left"))(rm)
+    starts = jnp.clip((first // 128) * 128, 0, max(c_fine - sub, 0))
+    ok = jnp.all(end - starts <= sub)
+    return starts.astype(jnp.int32), ok
+
+
+def plain_tdown(feats: jnp.ndarray, up_parent: jnp.ndarray,
+                up_koffset: jnp.ndarray, kernel: jnp.ndarray,
+                c_coarse: int) -> jnp.ndarray:
+    """Exact XLA transposed down conv: out[p] = sum over fine children i of p
+    of feats[i] @ W[up_koffset[i]].  Identical math to the kmap_down gather
+    conv (each (parent, slot) pair has at most one child).  Used as the
+    non-TPU path and the parity reference for the Pallas kernel."""
+    b, c_fine, f_in = feats.shape
+    f_out = kernel.shape[-1]
+    v = jnp.zeros((b, c_fine, f_out), jnp.float32)
+    for s in range(kernel.shape[0]):
+        sel = (up_koffset == s)[..., None].astype(feats.dtype)
+        v = v + jnp.einsum("bcf,fo->bco", feats * sel, kernel[s],
+                           preferred_element_type=jnp.float32)
+    return jax.vmap(
+        lambda vv, p: jnp.zeros((c_coarse, f_out), jnp.float32)
+        .at[p].add(vv, mode="drop")
+    )(v, up_parent)
+
+
+def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
+                         par2d: jnp.ndarray, ko2d: jnp.ndarray,
+                         kernel: jnp.ndarray, sub: int, tile: int,
+                         active: jnp.ndarray,
+                         epi_sb: jnp.ndarray | None = None,
+                         epi_valid: jnp.ndarray | None = None,
+                         epi_relu: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Pallas kernel: TRANSPOSED k=2 s=2 down conv driven by the up map.
+
+    Per coarse tile, one window of the FINE table feeds all 8 kernel slots:
+    the one-hot is built by comparing the windowed up-parent values (lanes)
+    against the tile's coarse rows (sublanes) — ONE compare pass — then each
+    slot masks it by its up-koffset row and runs the same two MXU dots as the
+    kmap_down conv (same shapes, same accumulation order -> bit-identical
+    output).  Replaces: 8 per-slot one-hot builds AND the kmap_down inversion
+    scatter (which XLA dead-code-eliminates from inference graphs once
+    nothing consumes kmap_down).
+
+    feats (B, c_fine, 128) bf16; starts (B, T) int32 multiples of 128;
+    par2d/ko2d (B, c_fine // 128, 128) int32 (up maps, 128-chunked);
+    kernel (8, 128, F_out) f32.  Returns (B, T, tile, F_out) f32.
+    Children outside a tile's window contribute zero (drop-and-report, see
+    tdown_layout's ok flag).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, c_fine, _ = feats.shape
+    t = starts.shape[1]
+    k_slots = kernel.shape[0]
+    f_out = kernel.shape[-1]
+    r_chunks = sub // 128
+    assert sub % 128 == 0 and c_fine % 128 == 0 and feats.dtype == jnp.bfloat16
+    has_epi = epi_sb is not None
+    if has_epi:
+        assert epi_valid is not None and epi_sb.shape == (2, f_out)
+
+    def body(*refs):
+        if has_epi:
+            (starts_ref, act_ref, par_ref, ko_ref, feats_ref, kern_ref,
+             sb_ref, valid_ref, out_ref, oh_ref, ko_row_ref) = refs
+        else:
+            (starts_ref, act_ref, par_ref, ko_ref, feats_ref, kern_ref,
+             out_ref, oh_ref, ko_row_ref) = refs
+            sb_ref = valid_ref = None
+        ti = pl.program_id(1)
+
+        @pl.when(act_ref[0, 0, ti] == 0)
+        def _skip():
+            out_ref[0, 0] = jnp.zeros((tile, f_out), jnp.float32)
+
+        @pl.when(act_ref[0, 0, ti] != 0)
+        def _compute():
+            prec = jax.lax.Precision.DEFAULT
+            base = ti * tile
+            drow = starts_ref[0, 0, ti] // 128
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 0)
+            for r in range(r_chunks):
+                pr = par_ref[0, pl.ds(drow + r, 1), :]              # (1, 128)
+                oh_ref[:, r * 128:(r + 1) * 128] = (
+                    (pr - base) == iota_p).astype(jnp.bfloat16)
+                kr = ko_ref[0, pl.ds(drow + r, 1), :]               # (1, 128)
+                ko_row_ref[:, r * 128:(r + 1) * 128] = jnp.broadcast_to(
+                    kr, (8, 128))
+            dk = pl.multiple_of(starts_ref[0, 0, ti], 128)
+            win = feats_ref[0, pl.ds(dk, sub), :]                   # (sub, 128)
+            oh = oh_ref[:, :]
+            ko_row = ko_row_ref[0:1, :]                             # (1, sub)
+            acc = jnp.zeros((tile, f_out), jnp.float32)
+            for s in range(k_slots):
+                ohs = oh * (ko_row == s).astype(jnp.bfloat16)
+                gs = jnp.dot(ohs, win, preferred_element_type=jnp.float32,
+                             precision=prec)
+                acc = acc + jnp.dot(gs.astype(jnp.bfloat16),
+                                    kern_ref[s].astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+            if has_epi:
+                acc = acc * sb_ref[0:1, :] + sb_ref[1:2, :]
+                if epi_relu:
+                    acc = jnp.maximum(acc, 0.0)
+                vm = valid_ref[0, 0, 0, :].reshape(tile, 1)
+                acc = jnp.where(vm != 0, acc, 0.0)
+            out_ref[0, 0] = acc
+
+    in_specs = [
+        pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),  # window starts
+        pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.SMEM),  # per-tile active flags
+        pl.BlockSpec((1, c_fine // 128, 128), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),  # whole per-cloud up-parent
+        pl.BlockSpec((1, c_fine // 128, 128), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),  # whole per-cloud up-koffset
+        pl.BlockSpec((1, c_fine, 128), lambda bi, ti: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),  # whole per-cloud fine table
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # kernel weights
+    ]
+    operands = [starts[:, None, :], active[:, None, :], par2d, ko2d, feats, kernel]
+    if has_epi:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [epi_sb.astype(jnp.float32),
+                     epi_valid.astype(jnp.int32)[:, :, None, :]]
+    return pl.pallas_call(
+        body,
+        grid=(b, t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile, sub), jnp.bfloat16),
+                        pltpu.VMEM((8, sub), jnp.int32)],
+        interpret=interpret,
+    )(*operands)
+
+
+def banded_tdown_pallas(feats: jnp.ndarray, up_parent: jnp.ndarray,
+                        up_koffset: jnp.ndarray, kernel: jnp.ndarray,
+                        c_coarse: int, mask_coarse: jnp.ndarray,
+                        sub: int | None = None, tile: int = DEFAULT_TILE,
+                        epi: tuple | None = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Transposed down conv via the banded Pallas kernel (see
+    _pallas_banded_tdown), with the exact XLA path as fallback.
+
+    feats (B, c_fine, F_in) fine-level features; up_parent/up_koffset
+    (B, c_fine) the fine level's up map; kernel (8, F_in, F_out);
+    mask_coarse (B, c_coarse) coarse row validity.  Returns
+    (B, c_coarse, F_out) float32.  `epi` as banded_conv_pallas.
+    """
+    b, c_fine, f_in = feats.shape
+    f_out = kernel.shape[-1]
+
+    def _epi_xla(out):
+        if epi is None:
+            return out
+        scale, bias, relu, mask = epi
+        y = out * scale + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0)
+
+    if c_coarse % tile != 0 or f_in > 128 or c_fine % 128 != 0:
+        return _epi_xla(plain_tdown(feats, up_parent, up_koffset, kernel,
+                                    c_coarse))
+    sub = tdown_sub_width(c_fine, c_coarse, sub)
+    t = c_coarse // tile
+    starts, ok = tdown_layout(up_parent, c_coarse, sub, tile)
+    active = mask_coarse.reshape(b, t, tile).any(-1).astype(jnp.int32)
+    feats_p = feats.astype(jnp.bfloat16)
+    f_pad = 128 - f_in
+    if f_pad:
+        feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
+    kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
+    par2d = up_parent.reshape(b, c_fine // 128, 128).astype(jnp.int32)
+    ko2d = up_koffset.reshape(b, c_fine // 128, 128).astype(jnp.int32)
+
+    if epi is not None:
+        scale, bias, _, mask = epi
+        epi_sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+        epi_valid = mask.reshape(b, t, tile).astype(jnp.int32)
+    else:
+        epi_sb = epi_valid = None
+
+    def fast():
+        out = _pallas_banded_tdown(feats_p, starts, par2d, ko2d, kernel_p,
+                                   sub, tile, active, epi_sb=epi_sb,
+                                   epi_valid=epi_valid,
+                                   epi_relu=bool(epi[2]) if epi else False,
+                                   interpret=interpret)
+        return out.reshape(b, c_coarse, f_out)
+
+    if not FALLBACK:
+        return fast()
+    return jax.lax.cond(ok, fast,
+                        lambda: _epi_xla(plain_tdown(feats, up_parent,
+                                                     up_koffset, kernel,
+                                                     c_coarse)))
+
+
 def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
                       rel: jnp.ndarray, g: jnp.ndarray,
                       sub: int, tile: int,

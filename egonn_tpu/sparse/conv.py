@@ -48,6 +48,13 @@ FUSE_BN_EVAL = os.environ.get("EGONN_FUSE_BN", "1") == "1"
 # XLA re-gather backward (A/B switch).
 BANDED_DW = os.environ.get("EGONN_BANDED_DW", "1") == "1"
 
+# Transposed down conv for inference (sparse/banded.py::banded_tdown_pallas):
+# the eval-path k=2 s=2 down conv consumes the up map directly instead of
+# kmap_down, making the kmap_down inversion scatters (the trace's largest
+# XLA fusions, ~1.5 ms/batch at bench shapes) dead code in inference jits.
+# EGONN_TDOWN=0 restores the kmap_down gather conv (A/B switch).
+TDOWN = os.environ.get("EGONN_TDOWN", "1") == "1"
+
 
 def set_banded(enabled: bool) -> None:
     """Toggle the banded conv engine (affects subsequent traces only)."""
@@ -232,6 +239,34 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
     from egonn_tpu.sparse.banded import _plain_gather_conv
 
     out = _plain_gather_conv(feats, kmap, kernel)
+    if epi is not None:
+        scale, bias, relu, mask = epi
+        out = out * scale + bias
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        out = jnp.where(mask[..., None], out, 0.0)
+    return out.astype(feats.dtype)
+
+
+def sparse_tdown(feats: jnp.ndarray, up_parent: jnp.ndarray,
+                 up_koffset: jnp.ndarray, kernel: jnp.ndarray,
+                 c_coarse: int, mask_coarse: jnp.ndarray,
+                 epi: tuple | None = None) -> jnp.ndarray:
+    """k=2 s=2 down conv in TRANSPOSED form: driven by the fine level's up map
+    (up_parent/up_koffset, both (B, c_fine)) instead of kmap_down, so
+    inference graphs never materialize the kmap_down inversion scatter.
+
+    Identical math and accumulation order to sparse_conv(feats, kmap_down,
+    kernel) — each (parent, slot) pair has at most one child.  Inference
+    only (no VJP; training keeps the kmap_down path whose backward the
+    pyramid's dual maps serve)."""
+    from egonn_tpu.sparse import banded
+
+    if USE_BANDED and _on_tpu():
+        return banded.banded_tdown_pallas(
+            feats, up_parent, up_koffset, kernel, c_coarse, mask_coarse,
+            epi=epi).astype(feats.dtype)
+    out = banded.plain_tdown(feats, up_parent, up_koffset, kernel, c_coarse)
     if epi is not None:
         scale, bias, relu, mask = epi
         out = out * scale + bias

@@ -219,3 +219,61 @@ def test_banded_dw_ineligible_returns_none(rng):
     kmap = jnp.zeros((1, 8, 96), jnp.int32)
     g = jnp.zeros((1, 96, 8), jnp.float32)
     assert banded_conv_dw(feats, kmap, g, interpret=True) is None
+
+
+def test_plain_tdown_matches_kmap_conv(rng):
+    """The transposed down conv (up-map driven) computes the SAME function as
+    the kmap_down gather conv: each (parent, slot) has at most one child."""
+    from egonn_tpu.sparse.banded import plain_tdown
+
+    pyr = _real_pyramid(rng)
+    fine, coarse = pyr[0], pyr[1]
+    c_fine = fine.coords.shape[-1]
+    c_coarse = coarse.coords.shape[-1]
+    f_in, f_out = 16, 24
+    feats = jnp.asarray(
+        (rng.standard_normal((2, c_fine, f_in))
+         * np.asarray(fine.mask)[..., None]).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((8, f_in, f_out)).astype(np.float32) * 0.3)
+
+    got = plain_tdown(feats, fine.up_parent, fine.up_koffset, kernel, c_coarse)
+    want = _plain_gather_conv(feats, coarse.kmap_down, kernel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
+def test_banded_tdown_matches_kmap_conv(rng):
+    """Pallas (interpret) transposed down conv == the banded kmap_down conv
+    at bf16 numerics, including the fused epilogue."""
+    from egonn_tpu.sparse.banded import banded_tdown_pallas, tdown_layout
+
+    pyr = _real_pyramid(rng)
+    fine, coarse = pyr[0], pyr[1]
+    c_fine = fine.coords.shape[-1]
+    c_coarse = coarse.coords.shape[-1]
+    f_in, f_out = 16, 24
+    feats = jnp.asarray(
+        (rng.standard_normal((2, c_fine, f_in))
+         * np.asarray(fine.mask)[..., None]).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((8, f_in, f_out)).astype(np.float32) * 0.3)
+
+    _, ok = tdown_layout(fine.up_parent, c_coarse, min(512, c_fine), 128)
+    assert bool(ok), "real pyramid up-map hulls must fit the window"
+
+    got = banded_tdown_pallas(feats, fine.up_parent, fine.up_koffset, kernel,
+                              c_coarse, coarse.mask, interpret=True)
+    want = banded_conv_pallas(feats, coarse.kmap_down, kernel, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=1e-4)
+
+    # fused epilogue parity (affine + relu + mask)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (f_out,)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((f_out,)).astype(np.float32))
+    epi = (scale, bias, True, coarse.mask)
+    got_e = banded_tdown_pallas(feats, fine.up_parent, fine.up_koffset, kernel,
+                                c_coarse, coarse.mask, epi=epi, interpret=True)
+    want_e = jnp.where(coarse.mask[..., None],
+                       jnp.maximum(want * scale + bias, 0.0), 0.0)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=3e-2, atol=1e-4)
