@@ -430,8 +430,13 @@ def tdown_layout(up_parent: jnp.ndarray, c_coarse: int, sub: int,
     hi = jnp.where(valid, up_parent, jnp.int32(2**30))
     rm = jnp.flip(jax.lax.cummin(jnp.flip(hi, 1), axis=1), 1)        # nondecr
     bounds = jnp.arange(t, dtype=jnp.int32) * tile
-    first = jax.vmap(lambda mm: jnp.searchsorted(mm, bounds, side="left"))(m)
-    end = jax.vmap(lambda mm: jnp.searchsorted(mm, bounds + tile, side="left"))(rm)
+    # first/end = searchsorted(monotone, bound) = count of entries < bound —
+    # one fused compare+reduce pass instead of a per-query while loop
+    # (searchsorted lowered to ~0.25 ms of serial whiles across the pyramid)
+    first = jnp.sum(m[:, :, None] < bounds[None, None, :], axis=1,
+                    dtype=jnp.int32)
+    end = jnp.sum(rm[:, :, None] < (bounds + tile)[None, None, :], axis=1,
+                  dtype=jnp.int32)
     starts = jnp.clip((first // 128) * 128, 0, max(c_fine - sub, 0))
     ok = jnp.all(end - starts <= sub)
     return starts.astype(jnp.int32), ok
@@ -515,6 +520,10 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
             base = ti * tile
             drow = starts_ref[0, 0, ti] // 128
             iota_p = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 0)
+            # one-hot staged through a (tile, sub) VMEM scratch so the slot
+            # loop below runs 8 BIG dots — a per-chunk register-resident
+            # variant (72 small (128,128) dots, no scratch) measured WORSE
+            # (tdown L1 1.48 vs 1.02 ms/batch: small dots don't pipeline)
             for r in range(r_chunks):
                 pr = par_ref[0, pl.ds(drow + r, 1), :]              # (1, 128)
                 oh_ref[:, r * 128:(r + 1) * 128] = (
@@ -1226,6 +1235,13 @@ def band_fit_report_traced(pyramid, spec) -> dict:
             sub_d = conv_sub_width(cd, spec.capacities[l])
             report[f"down_L{l}"] = band_layout_union(
                 lvl.kmap_down, cd, sub_d, DEFAULT_TILE)[2]
+            # transposed down conv (eval path): up-map hull windows
+            fine = pyramid[l - 1]
+            if fine.up_parent is not None and cd % 128 == 0 \
+                    and spec.capacities[l] % DEFAULT_TILE == 0:
+                sub_t = tdown_sub_width(cd, spec.capacities[l])
+                report[f"tdown_L{l}"] = tdown_layout(
+                    fine.up_parent, spec.capacities[l], sub_t, DEFAULT_TILE)[1]
         # map-BUILD bands: the zrun kernels that constructed kmap_self.  An
         # overflow here yields a wrong kernel map that the conv-stage check
         # above can still score healthy (the map itself is in-band), so the

@@ -85,6 +85,27 @@ def _zrun_requirement(sorted_keys: jnp.ndarray, q_lo: jnp.ndarray, kz: int,
     return _prepass_requirement(sorted_keys, q_first, q_last, any_valid)
 
 
+def _tdown_requirement(up_parent: jnp.ndarray, c_coarse: int,
+                       tile: int = DEFAULT_TILE) -> jnp.ndarray:
+    """Required window for the transposed down conv: the widest per-coarse-tile
+    up-map hull, measured exactly as banded.tdown_layout lays windows out
+    (cummax/revcummin hull, 128-aligned starts)."""
+    if c_coarse % tile != 0 or up_parent.shape[1] % 128 != 0:
+        return jnp.int32(0)  # banded tdown unused at this shape
+    valid = up_parent < c_coarse
+    lo = jnp.where(valid, up_parent, -1)
+    m = jax.lax.cummax(lo, axis=1)
+    hi = jnp.where(valid, up_parent, jnp.int32(2**30))
+    rm = jnp.flip(jax.lax.cummin(jnp.flip(hi, 1), axis=1), 1)
+    t = c_coarse // tile
+    bounds = jnp.arange(t, dtype=jnp.int32) * tile
+    first = jnp.sum(m[:, :, None] < bounds[None, None, :], axis=1,
+                    dtype=jnp.int32)
+    end = jnp.sum(rm[:, :, None] < (bounds + tile)[None, None, :], axis=1,
+                  dtype=jnp.int32)
+    return jnp.max(end - (first // 128) * 128)
+
+
 def band_requirements_traced(pyramid, spec) -> Dict[str, jnp.ndarray]:
     """Required band widths for every banded kernel a forward/backward pass
     runs on this pyramid — the same enumeration as banded.band_fit_report,
@@ -109,6 +130,11 @@ def band_requirements_traced(pyramid, spec) -> Dict[str, jnp.ndarray]:
             cd = spec.capacities[l - 1]
             _acc(f"conv:{cd}:{spec.capacities[l]}",
                  _conv_requirement(lvl.kmap_down, cd))
+            # transposed down conv window (banded_tdown_pallas): the up-map
+            # hull per coarse tile, with the kernel's 128-aligned starts
+            _acc(f"tdown:{cd}:{spec.capacities[l]}",
+                 _tdown_requirement(pyramid[l - 1].up_parent,
+                                    spec.capacities[l]))
         # zrun requirements are computed regardless of whether THIS platform
         # uses the banded lookup (it is TPU-only): a table calibrated on CPU
         # must still carry the zrun widths the TPU run will need
