@@ -482,7 +482,7 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
     nothing consumes kmap_down).
 
     feats (B, c_fine, 128) bf16; starts (B, T) int32 multiples of 128;
-    par2d/ko2d (B, c_fine // 128, 128) int32 (up maps, 128-chunked);
+    par2d/ko2d (B, 1, c_fine) int32 (up maps, lane-major);
     kernel (8, 128, F_out) f32.  Returns (B, T, tile, F_out) f32.
     Children outside a tile's window contribute zero (drop-and-report, see
     tdown_layout's ok flag).
@@ -494,7 +494,6 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
     t = starts.shape[1]
     k_slots = kernel.shape[0]
     f_out = kernel.shape[-1]
-    r_chunks = sub // 128
     assert sub % 128 == 0 and c_fine % 128 == 0 and feats.dtype == jnp.bfloat16
     has_epi = epi_sb is not None
     if has_epi:
@@ -503,10 +502,10 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
     def body(*refs):
         if has_epi:
             (starts_ref, act_ref, par_ref, ko_ref, feats_ref, kern_ref,
-             sb_ref, valid_ref, out_ref, oh_ref, ko_row_ref) = refs
+             sb_ref, valid_ref, out_ref) = refs
         else:
             (starts_ref, act_ref, par_ref, ko_ref, feats_ref, kern_ref,
-             out_ref, oh_ref, ko_row_ref) = refs
+             out_ref) = refs
             sb_ref = valid_ref = None
         ti = pl.program_id(1)
 
@@ -518,23 +517,19 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
         def _compute():
             prec = jax.lax.Precision.DEFAULT
             base = ti * tile
-            drow = starts_ref[0, 0, ti] // 128
-            iota_p = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 0)
-            # one-hot staged through a (tile, sub) VMEM scratch so the slot
-            # loop below runs 8 BIG dots — a per-chunk register-resident
-            # variant (72 small (128,128) dots, no scratch) measured WORSE
-            # (tdown L1 1.48 vs 1.02 ms/batch: small dots don't pipeline)
-            for r in range(r_chunks):
-                pr = par_ref[0, pl.ds(drow + r, 1), :]              # (1, 128)
-                oh_ref[:, r * 128:(r + 1) * 128] = (
-                    (pr - base) == iota_p).astype(jnp.bfloat16)
-                kr = ko_ref[0, pl.ds(drow + r, 1), :]               # (1, 128)
-                ko_row_ref[:, r * 128:(r + 1) * 128] = jnp.broadcast_to(
-                    kr, (8, 128))
             dk = pl.multiple_of(starts_ref[0, 0, ti], 128)
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 0)
+            # up maps ride lane-major (B, 1, c_fine): the window is ONE
+            # 128-granular lane-dim dynamic slice, so the full (tile, sub)
+            # one-hot comes from a single compare — no per-chunk staging.
+            # (A per-chunk register-resident variant with 72 small dots
+            # measured WORSE: tdown L1 1.48 vs 1.02 ms/batch — small dots
+            # don't pipeline; and the earlier (tile, sub) scratch roundtrip
+            # cost ~0.3 ms/batch over this form.)
+            prow = par_ref[0, 0:1, pl.ds(dk, sub)]                  # (1, sub)
+            oh = ((prow - base) == iota_p).astype(jnp.bfloat16)     # (tile, sub)
+            ko_row = ko_ref[0, 0:1, pl.ds(dk, sub)]                 # (1, sub)
             win = feats_ref[0, pl.ds(dk, sub), :]                   # (sub, 128)
-            oh = oh_ref[:, :]
-            ko_row = ko_row_ref[0:1, :]                             # (1, sub)
             acc = jnp.zeros((tile, f_out), jnp.float32)
             for s in range(k_slots):
                 ohs = oh * (ko_row == s).astype(jnp.bfloat16)
@@ -557,9 +552,9 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
                      memory_space=pltpu.SMEM),  # window starts
         pl.BlockSpec((1, 1, t), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.SMEM),  # per-tile active flags
-        pl.BlockSpec((1, c_fine // 128, 128), lambda bi, ti: (bi, 0, 0),
+        pl.BlockSpec((1, 1, c_fine), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),  # whole per-cloud up-parent
-        pl.BlockSpec((1, c_fine // 128, 128), lambda bi, ti: (bi, 0, 0),
+        pl.BlockSpec((1, 1, c_fine), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),  # whole per-cloud up-koffset
         pl.BlockSpec((1, c_fine, 128), lambda bi, ti: (bi, 0, 0),
                      memory_space=pltpu.VMEM),  # whole per-cloud fine table
@@ -581,8 +576,6 @@ def _pallas_banded_tdown(feats: jnp.ndarray, starts: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, tile, f_out), lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, tile, f_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile, sub), jnp.bfloat16),
-                        pltpu.VMEM((8, sub), jnp.int32)],
         interpret=interpret,
     )(*operands)
 
@@ -625,8 +618,8 @@ def banded_tdown_pallas(feats: jnp.ndarray, up_parent: jnp.ndarray,
     if f_pad:
         feats_p = jnp.pad(feats_p, ((0, 0), (0, 0), (0, f_pad)))
     kernel_p = jnp.pad(kernel, ((0, 0), (0, f_pad), (0, 0))) if f_pad else kernel
-    par2d = up_parent.reshape(b, c_fine // 128, 128).astype(jnp.int32)
-    ko2d = up_koffset.reshape(b, c_fine // 128, 128).astype(jnp.int32)
+    par2d = up_parent[:, None, :].astype(jnp.int32)   # lane-major (B, 1, c_fine)
+    ko2d = up_koffset[:, None, :].astype(jnp.int32)
 
     if epi is not None:
         scale, bias, _, mask = epi
