@@ -20,22 +20,45 @@ PROBE = ("import jax, jax.numpy as jnp; "
          "jax.devices()[0].platform)")
 
 
-def platform_or_cpu_fallback(timeout: float = 240.0) -> str | None:
+def platform_or_cpu_fallback(timeout: float = 90.0,
+                             deadline: float = 900.0) -> str | None:
     """Probe the default backend; on failure force CPU for this process.
+
+    Tunnel outages are usually transient (documented multi-minute flaps), so a
+    single failed probe must not erase a round's scoreboard: retry the probe
+    every `timeout` seconds until `deadline` seconds have elapsed, then fall
+    back.  Tunable via EGONN_TUNNEL_PROBE_TIMEOUT / EGONN_TUNNEL_DEADLINE.
 
     Returns the probed platform name, "cpu" after a forced fallback, or None
     when EGONN_BENCH_NO_PROBE is set (skip the ~20 s probe and trust the
     default backend)."""
     if os.environ.get("EGONN_BENCH_NO_PROBE"):
         return None
-    try:
-        r = subprocess.run([sys.executable, "-c", PROBE], timeout=timeout,
-                           capture_output=True, text=True)
-        if r.returncode == 0:
-            return r.stdout.split()[-1].strip()
-    except subprocess.TimeoutExpired:
-        pass
-    print("WARNING: default jax backend unreachable (tunnel down?); "
+    import time
+
+    timeout = float(os.environ.get("EGONN_TUNNEL_PROBE_TIMEOUT", timeout))
+    deadline = float(os.environ.get("EGONN_TUNNEL_DEADLINE", deadline))
+    t_start = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", PROBE], timeout=timeout,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                return r.stdout.split()[-1].strip()
+            reason = f"probe exited rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe timed out after {timeout:.0f}s"
+        elapsed = time.monotonic() - t_start
+        if elapsed + timeout > deadline:
+            break
+        print(f"WARNING: backend probe attempt {attempt} failed ({reason}); "
+              f"retrying ({elapsed:.0f}s / {deadline:.0f}s deadline)",
+              file=sys.stderr)
+        time.sleep(min(30.0, max(0.0, deadline - elapsed)))
+    print(f"WARNING: default jax backend unreachable after {attempt} probes "
+          f"over {time.monotonic() - t_start:.0f}s (tunnel down?); "
           "falling back to CPU", file=sys.stderr)
     import jax
 
