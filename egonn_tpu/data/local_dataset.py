@@ -29,28 +29,42 @@ class Training6DOFDataset(TrainingDataset):
         self.rot_max = rot_max
         self.trans_max = trans_max
         self.rng = rng or np.random.default_rng()
+        self._epoch: int | None = None
         # anchors usable for pair sampling: need >= 1 positive WITH a relative pose
         self.valid_ids = [
             ndx for ndx, q in self.queries.items()
             if len(q.positives) > 0 and q.positives_poses
         ]
 
+    def set_epoch(self, epoch: int):
+        """Make per-item randomness (positive choice, extra rot/trans) a pure
+        function of (epoch, item index) — checkpoint resume at an epoch
+        boundary then reproduces the uninterrupted run's pair stream exactly
+        (train/trainer.py derives all per-epoch randomness this way)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, ndx) -> np.random.Generator:
+        if self._epoch is None:
+            return self.rng
+        return np.random.default_rng([0, self._epoch, int(ndx)])
+
     def __getitem__(self, ndx):
+        rng = self._item_rng(ndx)
         query_pc, _ = super().__getitem__(ndx)
         positives = self.get_positives(ndx)
         # restrict to positives with a stored relative pose
         positives = [p for p in positives if p in self.queries[ndx].positives_poses]
         assert positives, f"element {ndx} has no positives with relative poses"
-        positive_idx = int(self.rng.choice(positives, 1)[0])
+        positive_idx = int(rng.choice(positives, 1)[0])
         positive_pc, _ = super().__getitem__(positive_idx)
         transform = self.queries[ndx].positives_poses[positive_idx]
 
         # Random transform of the positive (reference :42-50, matrix kept verbatim)
-        angle = self.rng.uniform(-self.rot_max, self.rot_max)
+        angle = rng.uniform(-self.rot_max, self.rot_max)
         c, s = np.cos(angle), np.sin(angle)
         m = np.eye(4, dtype=np.float32)
         m[:3, :3] = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
-        m[:2, 3] = self.rng.random(2) * 2.0 * self.trans_max - self.trans_max
+        m[:2, 3] = rng.random(2) * 2.0 * self.trans_max - self.trans_max
         positive_pc = positive_pc @ m[:3, :3].T + m[:3, 3]
         transform = m @ transform
 

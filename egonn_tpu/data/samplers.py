@@ -70,7 +70,17 @@ class BatchSampler:
             self.batch_size = 2 * self.k
         self.batch_idx: List[List[int]] = []
         self.elems_ndx = list(dataset.queries)
+        self._seed = seed
         self._rng = random.Random(seed) if seed is not None else random
+
+    def set_epoch(self, epoch: int):
+        """Reseed the batch-generation RNG deterministically per epoch (no-op
+        when the sampler is unseeded).  Epoch E's batches then depend only on
+        (seed, epoch, batch_size) — the property checkpoint resume relies on:
+        a run resumed at an epoch boundary regenerates the identical batch
+        sequence the uninterrupted run would have produced."""
+        if self._seed is not None:
+            self._rng = random.Random(f"{self._seed}:{epoch}")
 
     def __iter__(self):
         self.generate_batches()

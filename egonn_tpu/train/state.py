@@ -89,13 +89,35 @@ def init_train_state(variables, tx) -> TrainState:
 # ----------------------------------------------------------------------------
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    extra_meta: Optional[dict] = None):
+    """Save the full train state; `extra_meta` (JSON-serializable host-side
+    training state, e.g. the sampler's current expanded batch size) rides in a
+    sidecar `step_N.meta.json` so resume restores the whole trajectory, not
+    just the device state."""
     import orbax.checkpoint as ocp
 
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
         ckptr.save(path, jax.device_get(state), force=True)
+    if extra_meta is not None:
+        import json
+
+        with open(os.path.join(ckpt_dir, f"step_{step}.meta.json"), "w") as f:
+            json.dump(extra_meta, f)
+
+
+def load_checkpoint_meta(ckpt_dir: str, step: int) -> dict:
+    """The sidecar meta saved with `save_checkpoint(..., extra_meta=...)`;
+    {} when the checkpoint predates the sidecar."""
+    import json
+
+    path = os.path.join(ckpt_dir, f"step_{step}.meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_checkpoint(ckpt_dir: str, step: Optional[int] = None,

@@ -188,11 +188,27 @@ def print_stats(stats: Dict[str, float], phase: str):
 
 
 def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "weights",
-             log_fn=None, dataset_type: Optional[str] = None):
-    """Full training loop.  log_fn(metrics_dict) is the wandb.log stand-in."""
+             log_fn=None, dataset_type: Optional[str] = None,
+             resume_from: Optional[str] = None):
+    """Full training loop.  log_fn(metrics_dict) is the wandb.log stand-in.
+
+    resume_from: a checkpoint directory written by a previous run (the
+    `weights_path/model_name` orbax dir).  Training restores the full state
+    (params, batch_stats, optimizer, epoch) plus the sampler's expanded batch
+    size, continues the LR schedule from the restored epoch, and keeps saving
+    into the SAME directory.  All per-epoch randomness (sampler batches, local
+    shuffle, augmentation keys) is derived from (seed, epoch), so a resume at
+    an epoch boundary reproduces the uninterrupted run bit-exactly
+    (tests/test_resume.py).  Upgrade over the reference, which saves bare
+    state_dicts and cannot resume (reference training/trainer.py:218-219)."""
     dataset_type = dataset_type or params.dataset
     built = model_factory(params.model_params)
-    model_name = f"model_{params.model_params.model}_{get_datetime()}"
+    if resume_from is not None:
+        resume_from = resume_from.rstrip("/")
+        model_name = os.path.basename(resume_from)
+        weights_path = os.path.dirname(resume_from) or "."
+    else:
+        model_name = f"model_{params.model_params.model}_{get_datetime()}"
     os.makedirs(weights_path, exist_ok=True)
     print(f"Model name: {model_name}")
 
@@ -243,12 +259,17 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
               f"({jax.devices()[0].platform}); batch buckets rounded to "
               f"multiples of {n_dev}")
 
+    # seeded samplers + per-epoch reseeding (set_epoch below): epoch E's batch
+    # sequence depends only on (seed, epoch, batch_size), which makes resume at
+    # an epoch boundary bit-exact
     sampler = BatchSampler(
         train_ds, batch_size=params.batch_size,
         batch_size_limit=params.batch_size_limit,
         batch_expansion_rate=params.batch_expansion_rate,
+        seed=0,
     )
-    val_sampler = BatchSampler(val_ds, batch_size=params.batch_size_limit) if val_ds else None
+    val_sampler = (BatchSampler(val_ds, batch_size=params.batch_size_limit, seed=0)
+                   if val_ds else None)
     buckets = expansion_buckets(
         params.batch_size, params.batch_size_limit, params.batch_expansion_rate,
         multiple_of=n_dev,
@@ -302,6 +323,17 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         lambda k, p: built.model.init(k, p, built.quantizer, train=False)
     )(rng, init_pyr)
     state = init_train_state(variables, tx)
+    start_epoch = 1
+    if resume_from is not None:
+        from egonn_tpu.train.state import load_checkpoint, load_checkpoint_meta
+
+        state, ck_step = load_checkpoint(resume_from, template=jax.device_get(state))
+        meta = load_checkpoint_meta(resume_from, ck_step)
+        if "sampler_batch_size" in meta:
+            sampler.batch_size = int(meta["sampler_batch_size"])
+        start_epoch = int(jax.device_get(state.epoch)) + 1
+        print(f"Resumed from {resume_from} step {ck_step}: epoch {start_epoch}, "
+              f"batch_size {sampler.batch_size}")
     if mesh is not None:
         from egonn_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -310,16 +342,24 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         state = jax.tree.map(lambda x: jax.device_put(x, repl_s), state)
 
     all_stats: Dict[str, List[Dict[str, float]]] = {"train": [], "val": []}
-    rng_np = np.random.default_rng(0)
     test_evaluator = None  # built lazily ONCE — a fresh GLEvaluator per eval
     # would carry fresh jit caches (VERDICT r1 weak #6)
     last_global = None  # last train batch, for the periodic band-fit check
 
     from egonn_tpu.utils import tracing
 
-    for epoch in range(1, params.epochs + 1):
+    for epoch in range(start_epoch, params.epochs + 1):
         t_epoch = time.time()
         lr = float(lr_sched(epoch - 1))
+        # ALL of this epoch's randomness derives from (seed, epoch) — never
+        # from a stream threaded across epochs — so resume is bit-exact
+        sampler.set_epoch(epoch)
+        if val_sampler is not None:
+            val_sampler.set_epoch(epoch)
+        local_train_ds.set_epoch(epoch)
+        if local_val_ds is not None:
+            local_val_ds.set_epoch(epoch)
+        epoch_rng = jax.random.fold_in(rng, epoch)
         # phase-scoped profiler capture (SURVEY §5): one epoch, past the
         # compile storm, into EGONN_TRACE_DIR/train_epochN
         trace_ctx = tracing.capture(
@@ -327,12 +367,13 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
             enabled=epoch == min(tracing.trace_epoch(), params.epochs))
         trace_ctx.__enter__()
         phases = ["train"] + (["val"] if val_ds else [])
-        for phase in phases:
+        for phase_idx, phase in enumerate(phases):
             ds = train_ds if phase == "train" else val_ds
             lds = local_train_ds if phase == "train" else local_val_ds
             smp = sampler if phase == "train" else val_sampler
+            phase_rng = jax.random.fold_in(epoch_rng, phase_idx)
             local_ids = list(lds.valid_ids)
-            rng_np.shuffle(local_ids)
+            np.random.default_rng([0, epoch, phase_idx]).shuffle(local_ids)
             # local batches hold real pairs only (no mask-padding path), so the
             # mesh requires the size to divide evenly — round up and note it
             lbs = -(-params.local_batch_size // n_dev) * n_dev
@@ -359,7 +400,7 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
                 if g.positives_mask.sum() == 0 or g.negatives_mask.sum() == 0:
                     print("WARNING: Skipping batch without positive or negative examples")
                     continue
-                rng, step_rng = jax.random.split(rng)
+                step_rng = jax.random.fold_in(phase_rng, count)
                 gdict = {
                     "clouds": g.clouds, "point_mask": g.point_mask,
                     "positives_mask": g.positives_mask,
@@ -453,21 +494,25 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
             except Exception as e:  # eval must never kill training
                 print(f"WARNING: in-training eval failed: {e}")
 
-        if epoch % params.save_freq == 0:
-            save_checkpoint(os.path.join(weights_path, model_name), state, epoch)
-
         if log_fn is not None and all_stats["train"]:
             log_fn({"epoch": epoch, "lr": lr, "train": all_stats["train"][-1],
                     **({"val": all_stats["val"][-1]} if all_stats["val"] else {})})
 
-        # dynamic batch expansion (reference :269-278)
+        # dynamic batch expansion (reference :269-278) — decided BEFORE the
+        # checkpoint so the saved sampler_batch_size is the size the NEXT
+        # epoch will run with (resume must continue the expanded trajectory)
         if params.batch_expansion_th is not None and all_stats["train"]:
             es = all_stats["train"][-1]
             if "num_non_zero_triplets" in es and es["num_triplets"] > 0:
                 rnz = es["num_non_zero_triplets"] / es["num_triplets"]
                 if rnz < params.batch_expansion_th:
                     sampler.expand_batch()
+
+        if epoch % params.save_freq == 0:
+            save_checkpoint(os.path.join(weights_path, model_name), state, epoch,
+                            extra_meta={"sampler_batch_size": sampler.batch_size})
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s (lr {lr:.2e})")
 
-    save_checkpoint(os.path.join(weights_path, model_name), state, params.epochs)
+    save_checkpoint(os.path.join(weights_path, model_name), state, params.epochs,
+                    extra_meta={"sampler_batch_size": sampler.batch_size})
     return state, all_stats, model_name

@@ -27,6 +27,11 @@ def main():
     parser.add_argument("--epochs", type=int, default=None,
                         help="Override the number of epochs")
     parser.add_argument("--weights_path", type=str, default="weights")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint directory (weights_path/model_name) of "
+                             "a previous run: restores params/batch_stats/"
+                             "optimizer/epoch + the expanded batch size and "
+                             "continues training into the same directory")
     parser.set_defaults(debug=False, visualize=False)
     args = parser.parse_args()
 
@@ -49,7 +54,8 @@ def main():
 
     from egonn_tpu.train.trainer import do_train
 
-    do_train(params, debug=args.debug, weights_path=args.weights_path)
+    do_train(params, debug=args.debug, weights_path=args.weights_path,
+             resume_from=args.resume)
 
 
 if __name__ == "__main__":
