@@ -82,7 +82,8 @@ class SparseConv(nn.Module):
                 return sconv.sparse_tdown(feats, up_parent, up_koffset,
                                           kernel, mask.shape[-1], mask,
                                           epi=epi)
-            return sconv.sparse_conv(feats, kmap, kernel, epi=epi)
+            return sconv.sparse_conv(feats, kmap, kernel, epi=epi,
+                                     self_map=self.kernel_volume in (27, 125, 343))
         if up_parent is not None:
             # k=2 s=2 downsampling conv: gather-only backward via the up map
             return sconv.sparse_conv_down(feats, kmap, up_parent, up_koffset, kernel)

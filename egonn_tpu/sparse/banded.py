@@ -58,6 +58,18 @@ DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
 DEFAULT_TILE = 128
 
+# One-hot build micro-variants for the conv/dW kernels (the dominant VPU cost).
+# EGONN_OH_BF16: build the (tile, sub) one-hot by a bf16 compare instead of
+# int32 (rel values <= 256 are exact in bf16; gated to sub <= 256) — wins iff
+# the VPU runs 16-bit compares at doubled lane throughput.  EGONN_OH_CENTER:
+# the CENTER offset of an odd self kernel always gathers the voxel itself
+# (kmap_self[center, c] == c), so its gather is a masked slice of the tile's
+# own rows — no one-hot, no first MXU dot.  Defaults pending the round-5
+# on-chip A/B; bit-exactness vs the int32/one-hot forms is pinned by
+# tests/test_banded.py.
+OH_BF16 = os.environ.get("EGONN_OH_BF16", "0") == "1"
+OH_CENTER = os.environ.get("EGONN_OH_CENTER", "0") == "1"
+
 # ---------------------------------------------------------------------------
 # Band-width calibration (sparse/calibrate.py).  The hardcoded widths above
 # were sized from synthetic LiDAR probes; denser real-world clouds can exceed
@@ -198,6 +210,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                         epi_sb: jnp.ndarray | None = None,
                         epi_valid: jnp.ndarray | None = None,
                         epi_relu: bool = False,
+                        self_center: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel: grid over (B, T); the whole per-cloud feature table rides
     as a VMEM input block (every EgoNN level table is <= 5 MB — no manual DMA,
@@ -263,7 +276,16 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
 
         @pl.when(act_ref[0, 0, ti] != 0)
         def _compute():
-            iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
+            # bf16 one-hot compare (EGONN_OH_BF16): rel values are in [0, sub]
+            # with sub <= 256, all exactly representable in bf16 (8 significand
+            # bits), so the equality semantics are identical — but 16-bit VPU
+            # compares run at doubled lane throughput where supported
+            bf16_cmp = OH_BF16 and sub <= 256
+            if bf16_cmp:
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, sub), 1).astype(jnp.bfloat16)
+            else:
+                iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
             # precision pinned to DEFAULT: a global jax_default_matmul_precision
             # of "highest" (e.g. the test conftest) would request an fp32
@@ -271,13 +293,25 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
             prec = jax.lax.Precision.DEFAULT
 
             def k_step(k, acc):
-                dk = pl.multiple_of(starts_ref[0, ti, k], 16)
-                sub_w = feats_ref[0, pl.ds(dk, sub), :]
                 rel_k = rel_ref[0, 0, k, :]
-                oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
-                g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
-                            precision=prec)
-                gb = g.astype(jnp.bfloat16)
+                if self_center and k == k_vol // 2:
+                    # the center offset of an odd SELF kernel gathers the voxel
+                    # itself (kmap[center, c] == c): a masked slice of the
+                    # tile's own rows replaces the one-hot + gather dot
+                    rows = feats_ref[0, pl.ds(ti * tile, tile), :]
+                    gb = jnp.where((rel_k != sub)[:, None], rows,
+                                   jnp.bfloat16(0))
+                else:
+                    dk = pl.multiple_of(starts_ref[0, ti, k], 16)
+                    sub_w = feats_ref[0, pl.ds(dk, sub), :]
+                    if bf16_cmp:
+                        oh = (rel_k.astype(jnp.bfloat16)[:, None] == iota
+                              ).astype(jnp.bfloat16)
+                    else:
+                        oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
+                    g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
+                                precision=prec)
+                    gb = g.astype(jnp.bfloat16)
                 return acc + jnp.dot(gb, kern_ref[k].astype(jnp.bfloat16),
                                      preferred_element_type=jnp.float32,
                                      precision=prec)
@@ -337,6 +371,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                        kernel: jnp.ndarray, sub: int | None = None,
                        tile: int = DEFAULT_TILE,
                        epi: tuple | None = None,
+                       self_map: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """out[b, c] = sum_k feats[b, kmap[b, k, c]] @ kernel[k] via the Pallas
     banded kernel, with an exact whole-batch fallback (lax.cond).
@@ -347,6 +382,11 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
     epi (scale (F_out,), bias (F_out,), relu: bool, mask (B, C_out)) fuses the
     inference-mode BN affine + ReLU + row mask into the kernel's output write
     (see _pallas_banded_conv); fallback paths apply the same math in XLA.
+
+    self_map: caller promises kmap is a stride-1 SELF kernel map (or its
+    offset-reversed backward) — i.e. for odd K the center offset maps every
+    valid voxel to itself.  Enables the center-identity fast path
+    (EGONN_OH_CENTER); must NOT be set for arbitrary gather maps.
     """
     b, c_in, f_in = feats.shape
     c_out = kmap.shape[-1]
@@ -365,6 +405,12 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
         return _epi_xla(_plain_gather_conv(feats, kmap, kernel))
     sub = conv_sub_width(c_in, c_out, sub)
     t = c_out // tile
+    # odd SELF kernels (k^3 self maps, forward or offset-reversed backward)
+    # always map the center offset to the voxel itself — the kernel slices the
+    # tile's own rows instead of building a one-hot (EGONN_OH_CENTER)
+    k_vol = kmap.shape[1]
+    self_center = (OH_CENTER and self_map and c_in == c_out
+                   and k_vol % 2 == 1 and k_vol > 1)
     starts, rel, ok, active = band_layout_union(kmap, c_in, sub, tile)
     f_pad = 128 - f_in
     feats_p = feats.astype(jnp.bfloat16)
@@ -384,6 +430,7 @@ def banded_conv_pallas(feats: jnp.ndarray, kmap: jnp.ndarray,
                                   active=active, epi_sb=epi_sb,
                                   epi_valid=epi_valid,
                                   epi_relu=bool(epi[2]) if epi else False,
+                                  self_center=self_center,
                                   interpret=interpret)
         return out.reshape(b, c_out, f_out)
 
@@ -682,13 +729,18 @@ def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
 
         @pl.when(act_ref[0, 0, ti] != 0)
         def _acc():
+            bf16_cmp = OH_BF16 and sub <= 256  # see _pallas_banded_conv
             iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
+            if bf16_cmp:
+                iota = iota.astype(jnp.bfloat16)
             prec = jax.lax.Precision.DEFAULT
             gt = g_ref[0, 0].astype(jnp.bfloat16)  # (tile, F_out)
             for k in range(k_vol):
                 dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                 sub_w = feats_ref[0, pl.ds(dk, sub), :]
                 rel_k = rel_ref[0, 0, k, :]
+                if bf16_cmp:
+                    rel_k = rel_k.astype(jnp.bfloat16)
                 oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
                 gth = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                               precision=prec).astype(jnp.bfloat16)

@@ -134,11 +134,11 @@ def sparse_conv_sym(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray
     batch 128) and (b) lowers the transpose to colliding scatter-adds, which
     serialize on TPU.
     """
-    return sparse_conv(feats, kmap, kernel)
+    return sparse_conv(feats, kmap, kernel, self_map=True)
 
 
 def _sym_fwd(feats, kmap, kernel):
-    return sparse_conv(feats, kmap, kernel), (feats, kmap, kernel)
+    return sparse_conv(feats, kmap, kernel, self_map=True), (feats, kmap, kernel)
 
 
 def _sym_bwd(res, g):
@@ -147,7 +147,8 @@ def _sym_bwd(res, g):
     # index K-1-k
     kmap_rev = kmap[:, ::-1, :]
     kernel_t = jnp.swapaxes(kernel, 1, 2)
-    dfeats = sparse_conv(g, kmap_rev, kernel_t)
+    # the reversed self map is itself a self map (center stays center)
+    dfeats = sparse_conv(g, kmap_rev, kernel_t, self_map=True)
     dkernel = _conv_dkernel(feats, kmap, g)
     return dfeats, None, dkernel
 
@@ -217,7 +218,7 @@ sparse_tconv2x2_vjp.defvjp(_tconv_fwd, _tconv_bwd)
 
 
 def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
-                epi: tuple | None = None) -> jnp.ndarray:
+                epi: tuple | None = None, self_map: bool = False) -> jnp.ndarray:
     """Sparse convolution.
 
     feats:  (B, C_in, F_in) — padding rows must be zero (use types.masked).
@@ -230,11 +231,15 @@ def sparse_conv(feats: jnp.ndarray, kmap: jnp.ndarray, kernel: jnp.ndarray,
     inference-mode BN affine + ReLU + row mask into the conv's output write
     (Pallas epilogue on TPU; an XLA elementwise tail otherwise).  Inference
     only — the epilogue has no VJP (eval forwards are never differentiated).
+
+    self_map: kmap is a stride-1 self kernel map (or its offset-reversed
+    backward) — enables the banded kernel's center-identity path.
     """
     if USE_BANDED and _on_tpu():
         from egonn_tpu.sparse.banded import banded_conv_pallas
 
-        return banded_conv_pallas(feats, kmap, kernel, epi=epi).astype(feats.dtype)
+        return banded_conv_pallas(feats, kmap, kernel, epi=epi,
+                                  self_map=self_map).astype(feats.dtype)
 
     from egonn_tpu.sparse.banded import _plain_gather_conv
 

@@ -277,3 +277,46 @@ def test_banded_tdown_matches_kmap_conv(rng):
                        jnp.maximum(want * scale + bias, 0.0), 0.0)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
                                rtol=3e-2, atol=1e-4)
+
+
+@pytest.mark.slow  # compile-heavy golden (suite-time budget)
+def test_onehot_variants_bit_identical(rng, monkeypatch):
+    """EGONN_OH_BF16 (bf16 one-hot compare) and EGONN_OH_CENTER (center-offset
+    identity for self maps) must be BIT-identical to the baseline kernel on a
+    real self map: bf16 exactly represents rel values <= 256, and the center
+    offset of a self map gathers the voxel itself."""
+    from egonn_tpu.sparse import banded
+
+    pyr = _real_pyramid(rng)
+    lvl = pyr[1]
+    kmap = lvl.kmap_self
+    c = kmap.shape[-1]
+    f = 16
+    feats = jnp.asarray(
+        (rng.standard_normal((2, c, f)) * np.asarray(lvl.mask)[..., None]
+         ).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((27, f, f)).astype(np.float32) * 0.2)
+
+    monkeypatch.setattr(banded, "OH_BF16", False)
+    monkeypatch.setattr(banded, "OH_CENTER", False)
+    base = banded_conv_pallas(feats, kmap, kernel, self_map=True, interpret=True)
+
+    monkeypatch.setattr(banded, "OH_BF16", True)
+    got_bf = banded_conv_pallas(feats, kmap, kernel, self_map=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got_bf))
+
+    monkeypatch.setattr(banded, "OH_CENTER", True)
+    got_ct = banded_conv_pallas(feats, kmap, kernel, self_map=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(got_ct))
+
+    # offset-reversed self map (the custom-VJP backward's view) stays exact too
+    base_r = None
+    for bf, ct in [(False, False), (True, True)]:
+        monkeypatch.setattr(banded, "OH_BF16", bf)
+        monkeypatch.setattr(banded, "OH_CENTER", ct)
+        out = banded_conv_pallas(feats, kmap[:, ::-1, :], kernel,
+                                 self_map=True, interpret=True)
+        if base_r is None:
+            base_r = out
+        else:
+            np.testing.assert_array_equal(np.asarray(base_r), np.asarray(out))
