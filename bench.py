@@ -67,12 +67,28 @@ def main():
     model, quantizer, spec = built.model, built.quantizer, built.pyramid_spec
 
     rng = np.random.default_rng(0)
-    theta = rng.uniform(0, 2 * np.pi, (b, num_points))
-    r = np.abs(rng.normal(25, 18, (b, num_points))).clip(2, 80)
-    z = rng.uniform(-1, 10, (b, num_points))
-    clouds = jnp.asarray(
-        np.stack([r * np.cos(theta), r * np.sin(theta), z], -1).astype(np.float32)
-    )
+    # Workload clouds.  "lidar" (default) = data/lidar_sim.py surface-structured
+    # scans whose per-level occupancy genuinely fits the capacity table (the
+    # "16k voxels" the metric label promises).  "legacy" = the round-1..4
+    # uniform generator, kept for cross-round comparison: its 65k points land
+    # in ~65k unique voxels, so level 0 truncates 4x and L1/L2 overflow ~55%
+    # (capacity_ok below reports it).
+    workload = os.environ.get("EGONN_BENCH_CLOUDS", "legacy")
+    if workload == "lidar":
+        from egonn_tpu.data.lidar_sim import lidar_scan_clouds
+
+        def gen_clouds(seed):
+            return lidar_scan_clouds(b, num_points, seed=seed)
+    else:
+        def gen_clouds(seed):
+            g = np.random.default_rng(seed)
+            theta = g.uniform(0, 2 * np.pi, (b, num_points))
+            r = np.abs(g.normal(25, 18, (b, num_points))).clip(2, 80)
+            z = g.uniform(-1, 10, (b, num_points))
+            return np.stack([r * np.cos(theta), r * np.sin(theta), z],
+                            -1).astype(np.float32)
+
+    clouds = jnp.asarray(gen_clouds(0))
     mask = jnp.ones((b, num_points), bool)
 
     def mk_pyr(c, m):
@@ -140,24 +156,43 @@ def main():
     _ = jax.device_get(out[0][:1, :1])
     dt = (time.perf_counter() - t0) / iters
 
-    # band-fit health on the benched data (drop-and-report overflow policy —
-    # sparse/banded.py): all True means the banded outputs are bit-identical
-    # to the exact gather engine on these pyramids
+    # band-fit + voxel-capacity health on the benched data (drop-and-report
+    # overflow policy — sparse/banded.py + sparse/pyramid.py): band_ok True
+    # means the banded outputs are bit-identical to the exact gather engine
+    # on these pyramids; capacity_ok True means no level truncated voxels
     band_ok = True
+    capacity_ok = True
     try:
         from egonn_tpu.sparse.banded import band_fit_report_traced
         from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+        from egonn_tpu.sparse.pyramid import capacity_report_traced
 
-        if USE_BANDED and _on_tpu():
-            rep = jax.device_get(jax.jit(
-                lambda c, m: band_fit_report_traced(mk_pyr(c, m), spec)
-            )(variants[-1], mask))
-            band_ok = all(bool(v) for v in rep.values())
-            if not band_ok:
-                print("WARNING: band overflow on bench data:",
-                      [k for k, v in rep.items() if not v], file=sys.stderr)
+        banded_live = USE_BANDED and _on_tpu()
+
+        def health(c, m):
+            res = jax.vmap(lambda pc, mm: quantizer.quantize(
+                pc, mm, spec.capacities[0], need_index=False))(c, m)
+            from egonn_tpu.sparse.pyramid import build_pyramid as _bp
+
+            p = _bp(res.coords_t, res.mask, spec, keys0=res.keys,
+                    n_unique0=res.n_unique)
+            bands = band_fit_report_traced(p, spec) if banded_live else {}
+            return bands, capacity_report_traced(p, spec)
+
+        bands, caps = jax.device_get(jax.jit(health)(variants[-1], mask))
+        band_ok = all(bool(v) for v in bands.values())
+        if not band_ok:
+            print("WARNING: band overflow on bench data:",
+                  [k for k, v in bands.items() if not v], file=sys.stderr)
+        bad_cap = {k: (int(n), int(c)) for k, (n, c) in caps.items()
+                   if int(n) > int(c)}
+        capacity_ok = not bad_cap
+        if bad_cap:
+            print("WARNING: voxel-capacity overflow on bench data:",
+                  {k: f"{n} > {c}" for k, (n, c) in sorted(bad_cap.items())},
+                  file=sys.stderr)
     except Exception as e:
-        print(f"WARNING: band-fit check failed: {e}", file=sys.stderr)
+        print(f"WARNING: band/capacity health check failed: {e}", file=sys.stderr)
 
     clouds_per_sec = b / dt
     out = {
@@ -166,7 +201,10 @@ def main():
         "unit": "clouds/s",
         "vs_baseline": round(clouds_per_sec / V100_BASELINE_CLOUDS_PER_SEC, 3),
         "band_ok": band_ok,
+        "capacity_ok": capacity_ok,
     }
+    if workload != "lidar":
+        out["workload"] = workload
     if platform is not None and platform != "tpu":
         out["platform"] = platform  # fallback ran: NOT a TPU number
     print(json.dumps(out))

@@ -91,6 +91,10 @@ class Evaluator:
         # ({} when the banded engine is off); populated on the first embedded
         # batch — the drop-and-report overflow policy (sparse/banded.py)
         self.band_ok: Optional[Dict[str, bool]] = None
+        # per-level voxel-capacity state on this evaluator's data:
+        # {"cap_L{l}": (n_unique_max, capacity, ok)} — n_unique > capacity
+        # means the level TRUNCATED that many voxels (drop-and-report)
+        self.capacity_ok: Optional[Dict[str, tuple]] = None
 
     # ---------- embedding computation ----------
 
@@ -111,20 +115,21 @@ class Evaluator:
         return forward
 
     def _check_band_fit(self, clouds, mask):
-        """Band-fit flags of every banded kernel on one real eval batch.
+        """Band-fit flags of every banded kernel PLUS per-level voxel-capacity
+        state on one real eval batch.
 
-        The banded engine's production default treats out-of-window neighbors
-        as absent (drop-and-report, sparse/banded.py) — this surfaces the
-        report at eval time so a pyramid denser than the tuned sub-windows
-        cannot silently degrade recall.  Runs once per evaluator (the data
-        distribution is fixed)."""
+        Both overflow classes use the same drop-and-report policy (neighbors
+        outside a band window / voxels beyond a level's capacity are dropped,
+        never garbage) — this surfaces both reports at eval time so data
+        denser than the tuned windows OR the capacity table cannot silently
+        degrade recall.  Runs once per evaluator (the data distribution is
+        fixed)."""
         from egonn_tpu.sparse.banded import FALLBACK, band_fit_report_traced
         from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+        from egonn_tpu.sparse.pyramid import capacity_report_traced
 
-        if not (USE_BANDED and _on_tpu()) or FALLBACK:
-            self.band_ok = {}  # exact engine (or cond-fallback): nothing to drop
-            return
         quantizer, spec = self.built.quantizer, self.built.pyramid_spec
+        banded_live = USE_BANDED and _on_tpu() and not FALLBACK
 
         @jax.jit
         def check(c, m):
@@ -132,14 +137,20 @@ class Evaluator:
                 lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0],
                                                   need_index=False)
             )(c, m)
-            pyr = build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)
-            return band_fit_report_traced(pyr, spec)
+            # n_unique0 carries the TRUE level-0 unique count (including
+            # voxels beyond capacity) into the report
+            pyr = build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys,
+                                n_unique0=res.n_unique)
+            bands = band_fit_report_traced(pyr, spec) if banded_live else {}
+            return bands, capacity_report_traced(pyr, spec)
 
-        self.band_ok = {k: bool(v)
-                        for k, v in jax.device_get(check(clouds, mask)).items()}
+        bands, caps = jax.device_get(check(clouds, mask))
+        # exact engine (or cond-fallback): no band drops possible
+        self.band_ok = {k: bool(v) for k, v in bands.items()}
+        self.capacity_ok = {k: (int(n), int(cc), int(n) <= int(cc))
+                            for k, (n, cc) in caps.items()}
         bad = [k for k, v in self.band_ok.items() if not v]
         if bad:
-            from egonn_tpu.sparse.banded import FALLBACK
             if FALLBACK:
                 print(f"note: band overflow at eval in {bad} — exact lax.cond"
                       " fallback engaged (no drops)")
@@ -148,6 +159,15 @@ class Evaluator:
                       f" {bad} — recall may degrade; calibrate widths"
                       " (tools/calibrate_bands.py + EGONN_BAND_CALIB) or use"
                       " EGONN_BANDED_FALLBACK=1")
+        bad_cap = {k: v for k, v in self.capacity_ok.items() if not v[2]}
+        if bad_cap:
+            detail = ", ".join(f"{k}: {n} > {c}" for k, (n, c, _) in
+                               sorted(bad_cap.items()))
+            print(f"WARNING: voxel-capacity overflow at eval ({detail}) — the"
+                  " densest voxels beyond each capacity were dropped; recall"
+                  " may degrade.  Raise the capacity table (PyramidSpec"
+                  " capacities / model cap0) or calibrate it on this dataset"
+                  " (sparse/calibrate.py calibrate_capacities)")
 
     def _maybe_calibrate(self):
         """Auto-calibrate the banded engine's window widths on this dataset
@@ -251,6 +271,7 @@ class Evaluator:
         query_e = self.compute_embeddings(variables, self.eval_set.query_set)
         metrics = self.compute_recall(map_e["global"], query_e["global"])
         metrics["band_ok"] = self.band_ok
+        metrics["capacity_ok"] = self.capacity_ok
         return metrics
 
     def compute_recall(self, map_emb: np.ndarray, query_emb: np.ndarray) -> Dict:
@@ -346,6 +367,7 @@ class GLEvaluator(Evaluator):
                                               with_local=True, n_k=n_k_max)
         global_metrics = self.compute_recall(map_e["global"], query_e["global"])
         global_metrics["band_ok"] = self.band_ok
+        global_metrics["capacity_ok"] = self.capacity_ok
         top1 = global_metrics["top1_ndx"]
 
         map_pos = self.eval_set.get_map_positions()

@@ -182,8 +182,17 @@ def calibrate_from_pyramids(pyramids: Iterable, spec, margin: float = 1.25
 
 
 def calibrate_from_clouds(clouds, masks, quantizer, spec, margin: float = 1.25,
-                          batch: int = 8) -> Dict[str, int]:
-    """clouds (N, P, 3) float32 + masks (N, P) bool -> calibration table."""
+                          batch: int = 8, aug_mode: int | None = None,
+                          aug_seeds: int = 4) -> Dict[str, int]:
+    """clouds (N, P, 3) float32 + masks (N, P) bool -> calibration table.
+
+    aug_mode: when set, band requirements are measured on DEVICE-AUGMENTED
+    pyramids — `aug_seeds` independent augmentation draws per batch through
+    the training preprocess (data/pipeline.py device_preprocess_global), plus
+    one un-augmented pass.  Training calibration must use this: device-side
+    jitter/rotation/translation is precisely what widened bands past the
+    un-augmented measurement in the past (round-3 L2-L4 silent overflow,
+    PERFORMANCE.md band-overflow section)."""
     import numpy as np
 
     from egonn_tpu.sparse.pyramid import build_pyramid
@@ -198,9 +207,71 @@ def calibrate_from_clouds(clouds, masks, quantizer, spec, margin: float = 1.25,
     # pad the tail slice by repetition so every batch compiles to one shape
     idx = [np.minimum(np.arange(i, i + batch), n - 1)
            for i in range(0, n, batch)]
-    pyramids = (mk_j(jnp.asarray(clouds[ii]), jnp.asarray(masks[ii]))
-                for ii in idx)
-    return calibrate_from_pyramids(pyramids, spec, margin=margin)
+
+    def pyramids():
+        for ii in idx:
+            c = jnp.asarray(clouds[ii])
+            m = jnp.asarray(masks[ii])
+            yield mk_j(c, m)
+            if aug_mode is not None:
+                from egonn_tpu.data.pipeline import device_preprocess_global
+
+                aug_j = jax.jit(lambda cc, mm, k: device_preprocess_global(
+                    cc, mm, quantizer, spec, rng_key=k, aug_mode=aug_mode))
+                for s in range(aug_seeds):
+                    yield aug_j(c, m, jax.random.PRNGKey(s))
+
+    return calibrate_from_pyramids(pyramids(), spec, margin=margin)
+
+
+def calibrate_capacities(clouds, masks, quantizer, spec, margin: float = 1.15,
+                         batch: int = 8, quantum: int = 128,
+                         floor: int = 256, max_rounds: int = 4) -> tuple:
+    """Fit the per-level capacity table to measured occupancy: the smallest
+    margin-padded, `quantum`-rounded capacities covering every level's TRUE
+    unique-voxel count (Level.n_unique counts beyond-capacity voxels too) on
+    the sample.  Level 0 keeps spec.capacities[0] — it is the workload/memory
+    budget, not a fit.  Returns a new capacities tuple for PyramidSpec;
+    oversized levels shrink (the deep EgoNN levels measure 1-30% occupancy on
+    LiDAR — everything capacity-proportional speeds up) and undersized ones
+    grow (no more silent truncation).
+
+    A level measured below a TRUNCATING level sees only the truncated set and
+    undercounts, so the fit iterates: measure under the current capacities,
+    install the fitted ones, re-measure, until the table is stable (at most
+    `max_rounds` compiles — offline, cached by the auto-calibration flow)."""
+    import numpy as np
+    from dataclasses import replace
+
+    from egonn_tpu.sparse.pyramid import build_pyramid
+
+    n = clouds.shape[0]
+    idx = [np.minimum(np.arange(i, i + batch), n - 1)
+           for i in range(0, n, batch)]
+    cur = spec
+    for _ in range(max_rounds):
+        def occ(c, m, cur=cur):
+            res = jax.vmap(lambda pc, mm: quantizer.quantize(
+                pc, mm, cur.capacities[0], need_index=False))(c, m)
+            pyr = build_pyramid(res.coords_t, res.mask, cur, keys0=res.keys,
+                                n_unique0=res.n_unique)
+            return [jnp.max(pyr[l].n_unique) for l in range(cur.num_levels + 1)]
+
+        occ_j = jax.jit(occ)
+        worst = [0] * (cur.num_levels + 1)
+        for ii in idx:
+            for l, v in enumerate(jax.device_get(
+                    occ_j(jnp.asarray(clouds[ii]), jnp.asarray(masks[ii])))):
+                worst[l] = max(worst[l], int(v))
+        caps = [spec.capacities[0]]
+        for l in range(1, cur.num_levels + 1):
+            c = max(floor, -(-int(worst[l] * margin) // quantum) * quantum)
+            caps.append(min(c, spec.capacities[0]))
+        caps = tuple(caps)
+        if caps == cur.capacities:
+            break
+        cur = replace(cur, capacities=caps)
+    return cur.capacities
 
 
 def save_calibration(table: Dict[str, int], path: str) -> None:
@@ -214,7 +285,8 @@ def load_calibration(path: str) -> Dict[str, int]:
 
 
 def auto_calibrate_cached(ident_obj, load_sample_fn, quantizer, spec,
-                          margin: float = 1.25, batch: int = 8) -> bool:
+                          margin: float = 1.25, batch: int = 8,
+                          aug_mode: int | None = None) -> bool:
     """Install a calibration table for this process: from the per-config disk
     cache (~/.cache/egonn_tpu) when present, else by measuring a fresh sample
     (load_sample_fn() -> (clouds, masks) numpy arrays) and caching the result.
@@ -239,7 +311,8 @@ def auto_calibrate_cached(ident_obj, load_sample_fn, quantizer, spec,
         return True
     clouds, masks = load_sample_fn()
     table = calibrate_from_clouds(clouds, masks, quantizer, spec,
-                                  margin=margin, batch=min(batch, len(clouds)))
+                                  margin=margin, batch=min(batch, len(clouds)),
+                                  aug_mode=aug_mode)
     banded.set_band_calibration(table)
     os.makedirs(cache_dir, exist_ok=True)
     save_calibration(table, cache)

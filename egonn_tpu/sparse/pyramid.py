@@ -444,6 +444,30 @@ def build_pyramid(coords0_t: jnp.ndarray, mask0: jnp.ndarray, spec: PyramidSpec,
     return Pyramid(levels=tuple(levels))
 
 
+def capacity_report_traced(pyramid, spec: PyramidSpec) -> dict:
+    """Per-level TRUE unique-voxel counts (max over the batch) vs capacity —
+    usable inside jit alongside a forward pass.
+
+    Each Level.n_unique counts every unique key the dedup chain saw INCLUDING
+    those beyond capacity (sparse/packing.py sorted_unique), so
+    n_unique > capacity pinpoints voxel-capacity overflow: the level silently
+    dropped (n_unique - capacity) highest-key voxels — the same
+    drop-and-report policy as band overflow, and the blind spot this report
+    closes (clouds denser than the capacity table would otherwise be
+    truncated with no signal; contrast the reference's unbounded
+    ME.sparse_quantize, datasets/quantization.py:42).
+    Returns {"cap_L{l}": (max_n_unique, capacity)}."""
+    return {f"cap_L{l}": (jnp.max(pyramid[l].n_unique), spec.capacities[l])
+            for l in range(spec.num_levels + 1)}
+
+
+def capacity_report(pyramid, spec: PyramidSpec) -> dict:
+    """Host-side capacity report: {"cap_L{l}": (n_unique_max, capacity, ok)}."""
+    traced = capacity_report_traced(pyramid, spec)
+    return {k: (int(n), int(c), bool(int(n) <= int(c)))
+            for k, (n, c) in traced.items()}
+
+
 def egonn_pyramid_spec(cap0: int = 16384, num_levels: int = 7,
                        min_out_level: int = 3,
                        decay: Sequence[float] = (1.0, 0.6, 0.4, 0.25, 0.15, 0.1, 0.08, 0.06),

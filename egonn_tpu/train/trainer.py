@@ -276,10 +276,15 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     )
 
     # auto-calibrate the banded engine's window widths on this dataset BEFORE
-    # any jit traces (widths are captured at trace time).  margin 1.5 (vs the
-    # eval default 1.25) buys headroom for the device-side augmentation, which
-    # the un-augmented sample can't exercise; the periodic band-fit health
-    # check below still audits the live training pyramids.
+    # any jit traces (widths are captured at trace time).  The measurement
+    # runs on DEVICE-AUGMENTED pyramids (several aug seeds through the
+    # training preprocess, aug_mode=params.aug_mode): device-side
+    # jitter/rotation/translation is exactly what widened bands past an
+    # un-augmented sample in the past (round-3 L2-L4 silent overflow,
+    # PERFORMANCE.md), so the calibration now covers the augmentation
+    # distribution directly with the standard 1.25 margin instead of an
+    # un-augmented sample + hand-set 1.5.  The per-epoch band-fit audit below
+    # still guards the tail of the distribution.
     if os.environ.get("EGONN_AUTO_CALIB", "1") != "0":
         from egonn_tpu.eval.evaluator import _banded_active
         from egonn_tpu.sparse import banded as _banded
@@ -301,8 +306,9 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
 
             auto_calibrate_cached(
                 ["train", params.dataset_folder, dataset_type, num_points,
-                 list(built.pyramid_spec.capacities)],
-                _load_sample, built.quantizer, built.pyramid_spec, margin=1.5)
+                 list(built.pyramid_spec.capacities), "aug", params.aug_mode],
+                _load_sample, built.quantizer, built.pyramid_spec,
+                margin=1.25, aug_mode=params.aug_mode)
 
     tx = make_optimizer(params)
     lr_sched = make_lr_schedule(params)
@@ -344,7 +350,8 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
     all_stats: Dict[str, List[Dict[str, float]]] = {"train": [], "val": []}
     test_evaluator = None  # built lazily ONCE — a fresh GLEvaluator per eval
     # would carry fresh jit caches (VERDICT r1 weak #6)
-    last_global = None  # last train batch, for the periodic band-fit check
+    last_global = None  # last train batch, for the per-epoch health audit
+    self_audit_fn = [None]  # cached audit jit (compiled once, reused per epoch)
 
     from egonn_tpu.utils import tracing
 
@@ -440,35 +447,59 @@ def do_train(params: TrainingParams, debug: bool = False, weights_path: str = "w
         trace_ctx.__exit__(None, None, None)
         state = state.replace(epoch=state.epoch + 1)
 
-        # periodic band-fit health check (the banded kernels' drop-and-report
-        # overflow policy — all True means the epoch's banded outputs were
-        # bit-identical to the exact gather engine; see sparse/banded.py)
-        if epoch % 10 == 1 and last_global is not None:
+        # per-EPOCH band-fit + voxel-capacity health check on the last train
+        # batch (one cheap jit; both overflow classes share the
+        # drop-and-report policy — all-ok means this epoch's banded outputs
+        # were bit-identical to the exact gather engine and no level
+        # truncated voxels; see sparse/banded.py + sparse/pyramid.py).
+        # Every epoch so an overflow can corrupt gradients for at most one
+        # epoch before it is surfaced (tests/test_band_fit.py pins the
+        # warning latency).
+        if last_global is not None:
             try:
                 from egonn_tpu.data.pipeline import device_preprocess_global
-                from egonn_tpu.sparse.banded import band_fit_report
+                from egonn_tpu.sparse.banded import band_fit_report_traced
                 from egonn_tpu.sparse.conv import USE_BANDED, _on_tpu
+                from egonn_tpu.sparse.pyramid import capacity_report_traced
 
-                if USE_BANDED and _on_tpu():
-                    pyr_chk = jax.jit(
-                        lambda c, m, k: device_preprocess_global(
-                            c, m, built.quantizer, built.pyramid_spec, rng_key=k)
-                    )(jnp.asarray(last_global.clouds),
-                      jnp.asarray(last_global.point_mask),
-                      jax.random.PRNGKey(epoch))
-                    rep = band_fit_report(pyr_chk, built.pyramid_spec)
-                    bad = [k for k, v in rep.items() if not v]
-                    if bad:
-                        from egonn_tpu.sparse.banded import FALLBACK
-                        if FALLBACK:
-                            print(f"note: band overflow in {bad} — exact "
-                                  "lax.cond fallback engaged (no drops)")
-                        else:
-                            print(f"WARNING: band overflow (neighbors "
-                                  f"dropped) in {bad} — calibrate widths "
-                                  "(tools/calibrate_bands.py + "
-                                  "EGONN_BAND_CALIB) or set "
-                                  "EGONN_BANDED_FALLBACK=1")
+                banded_live = USE_BANDED and _on_tpu()
+                spec_ = built.pyramid_spec
+
+                if self_audit_fn[0] is None:
+                    def _audit(c, m, k):
+                        pyr = device_preprocess_global(
+                            c, m, built.quantizer, spec_, rng_key=k,
+                            aug_mode=params.aug_mode)
+                        bands = (band_fit_report_traced(pyr, spec_)
+                                 if banded_live else {})
+                        return bands, capacity_report_traced(pyr, spec_)
+
+                    self_audit_fn[0] = jax.jit(_audit)
+                bands, caps = jax.device_get(self_audit_fn[0](
+                    jnp.asarray(last_global.clouds),
+                    jnp.asarray(last_global.point_mask),
+                    jax.random.PRNGKey(epoch)))
+                bad = [k for k, v in bands.items() if not v]
+                if bad:
+                    from egonn_tpu.sparse.banded import FALLBACK
+                    if FALLBACK:
+                        print(f"note: band overflow in {bad} — exact "
+                              "lax.cond fallback engaged (no drops)")
+                    else:
+                        print(f"WARNING: band overflow (neighbors "
+                              f"dropped) in {bad} — calibrate widths "
+                              "(tools/calibrate_bands.py + "
+                              "EGONN_BAND_CALIB) or set "
+                              "EGONN_BANDED_FALLBACK=1")
+                bad_cap = {k: (int(n), int(c)) for k, (n, c) in caps.items()
+                           if int(n) > int(c)}
+                if bad_cap:
+                    detail = ", ".join(f"{k}: {n} > {c}"
+                                       for k, (n, c) in sorted(bad_cap.items()))
+                    print(f"WARNING: voxel-capacity overflow ({detail}) — "
+                          "densest voxels beyond each capacity dropped; raise "
+                          "PyramidSpec capacities / model cap0 or calibrate "
+                          "them (sparse/calibrate.py calibrate_capacities)")
             except Exception as e:
                 print(f"WARNING: band-fit check failed: {e}")
 

