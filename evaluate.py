@@ -92,8 +92,10 @@ def main():
         # one-command parity check
         from egonn_tpu.utils.checkpoint_convert import load_reference_checkpoint
 
-        variables = load_reference_checkpoint(args.weights)
-        print(f"Converted reference torch checkpoint {args.weights}")
+        variables = load_reference_checkpoint(args.weights,
+                                              model=model_params.model)
+        print(f"Converted reference torch checkpoint {args.weights} "
+              f"({model_params.model} layout)")
     elif args.weights:
         state, step = load_checkpoint(args.weights)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
