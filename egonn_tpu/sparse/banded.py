@@ -294,21 +294,27 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
 
             def k_step(k, acc):
                 rel_k = rel_ref[0, 0, k, :]
+                # minor-dim inserts ((n,) -> (n,1)) only lower for 32-bit
+                # types on this Mosaic build (module docstring): reshape the
+                # int32 vector FIRST, then convert/compare in 2D
+                rel_k2 = rel_k[:, None]
                 if self_center and k == k_vol // 2:
                     # the center offset of an odd SELF kernel gathers the voxel
                     # itself (kmap[center, c] == c): a masked slice of the
                     # tile's own rows replaces the one-hot + gather dot
                     rows = feats_ref[0, pl.ds(ti * tile, tile), :]
-                    gb = jnp.where((rel_k != sub)[:, None], rows,
-                                   jnp.bfloat16(0))
+                    # bf16 mask-multiply: broadcasting an i1 (tile, 1)
+                    # condition across lanes also trips Mosaic's 32-bit rule
+                    vmask = (rel_k2 != sub).astype(jnp.bfloat16)
+                    gb = rows * vmask
                 else:
                     dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                     sub_w = feats_ref[0, pl.ds(dk, sub), :]
                     if bf16_cmp:
-                        oh = (rel_k.astype(jnp.bfloat16)[:, None] == iota
+                        oh = (rel_k2.astype(jnp.bfloat16) == iota
                               ).astype(jnp.bfloat16)
                     else:
-                        oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
+                        oh = (rel_k2 == iota).astype(jnp.bfloat16)
                     g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                                 precision=prec)
                     gb = g.astype(jnp.bfloat16)
@@ -738,10 +744,11 @@ def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
             for k in range(k_vol):
                 dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                 sub_w = feats_ref[0, pl.ds(dk, sub), :]
-                rel_k = rel_ref[0, 0, k, :]
+                # 32-bit minor-dim insert first, convert in 2D (Mosaic rule)
+                rel_k2 = rel_ref[0, 0, k, :][:, None]
                 if bf16_cmp:
-                    rel_k = rel_k.astype(jnp.bfloat16)
-                oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
+                    rel_k2 = rel_k2.astype(jnp.bfloat16)
+                oh = (rel_k2 == iota).astype(jnp.bfloat16)
                 gth = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                               precision=prec).astype(jnp.bfloat16)
                 # contract the tile axis of both operands: (128, F_out)
