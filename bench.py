@@ -91,6 +91,23 @@ def main():
     clouds = jnp.asarray(gen_clouds(0))
     mask = jnp.ones((b, num_points), bool)
 
+    # Optional capacity calibration (EGONN_BENCH_CAPCALIB=1): fit the
+    # per-level capacity table to the benched distribution (the deploy flow's
+    # calibrate-once-per-dataset step, sparse/calibrate.py) — oversized deep
+    # levels shrink, so every capacity-proportional cost (dedup sorts, zrun
+    # tables, elementwise passes) shrinks with them; undersized ones grow
+    # (capacity_ok below then holds by construction).
+    if os.environ.get("EGONN_BENCH_CAPCALIB", "0") == "1":
+        import dataclasses
+
+        from egonn_tpu.sparse.calibrate import calibrate_capacities
+
+        fitted = calibrate_capacities(np.asarray(clouds), np.asarray(mask),
+                                      quantizer, spec)
+        print(f"capacity calibration: {spec.capacities} -> {fitted}",
+              file=sys.stderr)
+        spec = dataclasses.replace(spec, capacities=fitted)
+
     def mk_pyr(c, m):
         res = jax.vmap(lambda pc, mm: quantizer.quantize(pc, mm, spec.capacities[0], need_index=False))(c, m)
         return build_pyramid(res.coords_t, res.mask, spec, keys0=res.keys)

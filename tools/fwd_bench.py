@@ -50,8 +50,16 @@ def main():
     model, quantizer, spec = built.model, built.quantizer, built.pyramid_spec
 
     rng = np.random.default_rng(0)
+    workload = os.environ.get("EGONN_FB_CLOUDS",
+                              os.environ.get("EGONN_BENCH_CLOUDS", "legacy"))
+    seed_ctr = [0]
 
     def clouds_np():
+        if workload == "lidar":
+            from egonn_tpu.data.lidar_sim import lidar_scan_clouds
+
+            seed_ctr[0] += 1
+            return lidar_scan_clouds(b, num_points, seed=seed_ctr[0])
         th = rng.uniform(0, 2 * np.pi, (b, num_points))
         rad = np.abs(rng.normal(25, 18, (b, num_points))).clip(2, 80)
         z = rng.uniform(-1, 10, (b, num_points))
