@@ -58,16 +58,16 @@ DEFAULT_SUB = 384      # compare width of the lookup/zrun kernels
 DEFAULT_STRIDE = 128   # window-table row stride; sub must cover band + stride
 DEFAULT_TILE = 128
 
-# One-hot build micro-variants for the conv/dW kernels (the dominant VPU cost).
-# EGONN_OH_BF16: build the (tile, sub) one-hot by a bf16 compare instead of
-# int32 (rel values <= 256 are exact in bf16; gated to sub <= 256) — wins iff
-# the VPU runs 16-bit compares at doubled lane throughput.  EGONN_OH_CENTER:
-# the CENTER offset of an odd self kernel always gathers the voxel itself
-# (kmap_self[center, c] == c), so its gather is a masked slice of the tile's
-# own rows — no one-hot, no first MXU dot.  Defaults pending the round-5
-# on-chip A/B; bit-exactness vs the int32/one-hot forms is pinned by
+# One-hot build micro-variant for the conv kernel (the dominant VPU cost).
+# EGONN_OH_CENTER: the CENTER offset of an odd self kernel always gathers the
+# voxel itself (kmap_self[center, c] == c), so its gather is a masked slice of
+# the tile's own rows — no one-hot, no first MXU dot.  Default pending the
+# round-5 on-chip A/B; bit-exactness vs the one-hot form is pinned by
 # tests/test_banded.py.
-OH_BF16 = os.environ.get("EGONN_OH_BF16", "0") == "1"
+# (A bf16 one-hot COMPARE was tried round 5 and is impossible on this target:
+# Mosaic rejects arith.cmpf on the packed vector<8x128x2xbf16> — "Target does
+# not support this comparison" — i.e. the v5e VPU has no native 16-bit vector
+# compare, so the one-hot build is irreducibly 32-bit-lane bound.)
 OH_CENTER = os.environ.get("EGONN_OH_CENTER", "0") == "1"
 
 # ---------------------------------------------------------------------------
@@ -276,16 +276,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
 
         @pl.when(act_ref[0, 0, ti] != 0)
         def _compute():
-            # bf16 one-hot compare (EGONN_OH_BF16): rel values are in [0, sub]
-            # with sub <= 256, all exactly representable in bf16 (8 significand
-            # bits), so the equality semantics are identical — but 16-bit VPU
-            # compares run at doubled lane throughput where supported
-            bf16_cmp = OH_BF16 and sub <= 256
-            if bf16_cmp:
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile, sub), 1).astype(jnp.bfloat16)
-            else:
-                iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
 
             # precision pinned to DEFAULT: a global jax_default_matmul_precision
             # of "highest" (e.g. the test conftest) would request an fp32
@@ -310,11 +301,7 @@ def _pallas_banded_conv(feats: jnp.ndarray, starts: jnp.ndarray,
                 else:
                     dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                     sub_w = feats_ref[0, pl.ds(dk, sub), :]
-                    if bf16_cmp:
-                        oh = (rel_k2.astype(jnp.bfloat16) == iota
-                              ).astype(jnp.bfloat16)
-                    else:
-                        oh = (rel_k2 == iota).astype(jnp.bfloat16)
+                    oh = (rel_k2 == iota).astype(jnp.bfloat16)
                     g = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                                 precision=prec)
                     gb = g.astype(jnp.bfloat16)
@@ -735,20 +722,14 @@ def _pallas_banded_dw(feats: jnp.ndarray, starts: jnp.ndarray,
 
         @pl.when(act_ref[0, 0, ti] != 0)
         def _acc():
-            bf16_cmp = OH_BF16 and sub <= 256  # see _pallas_banded_conv
             iota = jax.lax.broadcasted_iota(jnp.int32, (tile, sub), 1)
-            if bf16_cmp:
-                iota = iota.astype(jnp.bfloat16)
             prec = jax.lax.Precision.DEFAULT
             gt = g_ref[0, 0].astype(jnp.bfloat16)  # (tile, F_out)
             for k in range(k_vol):
                 dk = pl.multiple_of(starts_ref[0, ti, k], 16)
                 sub_w = feats_ref[0, pl.ds(dk, sub), :]
-                # 32-bit minor-dim insert first, convert in 2D (Mosaic rule)
-                rel_k2 = rel_ref[0, 0, k, :][:, None]
-                if bf16_cmp:
-                    rel_k2 = rel_k2.astype(jnp.bfloat16)
-                oh = (rel_k2 == iota).astype(jnp.bfloat16)
+                rel_k = rel_ref[0, 0, k, :]
+                oh = (rel_k[:, None] == iota).astype(jnp.bfloat16)
                 gth = jnp.dot(oh, sub_w, preferred_element_type=jnp.float32,
                               precision=prec).astype(jnp.bfloat16)
                 # contract the tile axis of both operands: (128, F_out)

@@ -50,7 +50,7 @@ from egonn_tpu.sparse.packing import (
     PackSpec,
     halve_keys,
     halved_spec,
-    compact_ranked,
+    compact_kept,
     lookup_sorted,
     pack_keys,
     sorted_unique,
@@ -273,9 +273,9 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
         # merge passes beat the VMEM network's VPU compare cost at 65k.)
         _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)
-        # compaction by rank-shift (see packing.compact_ranked): ~2x cheaper
-        # than the second sort it replaces
-        out_keys, _, _ = compact_ranked(sk, is_first, cap_l)
+        # compaction engine dispatch (packing.compact_kept): rank-shift loop
+        # or bucketed searchsorted lookup, bit-identical
+        out_keys, _, _ = compact_kept(sk, is_first, cap_l)
         out_mask = out_keys != MAXKEY
         pack_l = spec.pack_at(l)
         out_coords = jnp.where(out_mask[None, :],
