@@ -73,7 +73,7 @@ def main():
     # uniform generator, kept for cross-round comparison: its 65k points land
     # in ~65k unique voxels, so level 0 truncates 4x and L1/L2 overflow ~55%
     # (capacity_ok below reports it).
-    workload = os.environ.get("EGONN_BENCH_CLOUDS", "legacy")
+    workload = os.environ.get("EGONN_BENCH_CLOUDS", "lidar")
     if workload == "lidar":
         from egonn_tpu.data.lidar_sim import lidar_scan_clouds
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def lidar_scan_clouds(b: int, n: int, seed: int = 0, n_rings: int = 41,
+def lidar_scan_clouds(b: int, n: int, seed: int = 0, n_rings: int = 38,
                       n_pole_cells: int = 100, pole_point_frac: float = 0.09,
                       theta_step_deg: float = 1.0, r_step: float = 0.3,
                       z_step: float = 0.2) -> np.ndarray:
@@ -57,8 +57,8 @@ def lidar_scan_clouds(b: int, n: int, seed: int = 0, n_rings: int = 41,
         ground = ground * (0.3 + 0.7 * ring_r[rg] / 80.0)
         gz = (np.floor(ground / z_step) + 0.5) * z_step
         theta = (tb + rng.random(n_surf)) * deg
-        r = ring_r[rg] + (rng.random(n_surf) - 0.5) * (r_step * 0.8)
-        z = gz + (rng.random(n_surf) - 0.5) * (z_step * 0.8)
+        r = ring_r[rg] + (rng.random(n_surf) - 0.5) * (r_step * 0.6)
+        z = gz + (rng.random(n_surf) - 0.5) * (z_step * 0.6)
 
         # vertical structures: a few cells with 1-6 m extents
         pt = rng.integers(0, n_az, n_pole_cells)
@@ -66,9 +66,9 @@ def lidar_scan_clouds(b: int, n: int, seed: int = 0, n_rings: int = 41,
         p_h = rng.uniform(1.0, 6.0, n_pole_cells)
         pj = rng.integers(0, n_pole_cells, n_pole_pts)
         theta_p = (pt[pj] + rng.random(n_pole_pts)) * deg
-        r_p = ring_r[pr[pj]] + (rng.random(n_pole_pts) - 0.5) * (r_step * 0.8)
+        r_p = ring_r[pr[pj]] + (rng.random(n_pole_pts) - 0.5) * (r_step * 0.6)
         z_p = ((np.floor(rng.random(n_pole_pts) * p_h[pj] / z_step) + 0.5)
-               * z_step + (rng.random(n_pole_pts) - 0.5) * (z_step * 0.8))
+               * z_step + (rng.random(n_pole_pts) - 0.5) * (z_step * 0.6))
 
         th = np.concatenate([theta, theta_p])
         rr = np.concatenate([r, r_p]).clip(2.0, 80.0)
