@@ -29,7 +29,62 @@ import numpy as np
 V100_BASELINE_CLOUDS_PER_SEC = 100.0  # roofline-derived; see BASELINE.md
 
 
-def main():
+def supervise() -> int:
+    """Run the measurement in a timed SUBPROCESS and retry on failure.
+
+    The tunnel can drop mid-run (after a successful probe), hanging the
+    process on its next device interaction — which would erase the round's
+    scoreboard exactly like the round-4 CPU-fallback incident.  The
+    supervisor bounds each attempt (EGONN_BENCH_ATTEMPT_TIMEOUT, default
+    600 s — first compile ~3-6 min; retries hit the persistent compile
+    cache) and retries within a total budget (EGONN_BENCH_BUDGET, default
+    2700 s) before letting a final attempt fall back to CPU honestly.
+    Child attempts run with EGONN_BENCH_REQUIRE_TPU=1 so a CPU fallback
+    aborts fast instead of burning ~20 min of CPU compiles.
+    """
+    import subprocess
+    import time
+
+    attempt_timeout = float(os.environ.get("EGONN_BENCH_ATTEMPT_TIMEOUT", 600))
+    budget = float(os.environ.get("EGONN_BENCH_BUDGET", 2700))
+    t0 = time.monotonic()
+    attempt = 0
+    while time.monotonic() - t0 + attempt_timeout <= budget:
+        attempt += 1
+        # the child's probe deadline must fit inside the attempt timeout
+        # (cross-attempt retries supply the long patience)
+        env = dict(os.environ, EGONN_BENCH_CHILD="1",
+                   EGONN_BENCH_REQUIRE_TPU="1",
+                   EGONN_TUNNEL_DEADLINE=os.environ.get(
+                       "EGONN_TUNNEL_DEADLINE", "240"))
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               timeout=attempt_timeout, env=env,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt} timed out after "
+                  f"{attempt_timeout:.0f}s (tunnel drop mid-run?); retrying",
+                  file=sys.stderr)
+            time.sleep(30)
+            continue
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        if r.returncode == 0 and line.startswith("{"):
+            print(line)
+            return 0
+        print(f"bench attempt {attempt} rc={r.returncode}; stderr tail: "
+              + " | ".join(r.stderr.strip().splitlines()[-2:]),
+              file=sys.stderr)
+        if r.returncode not in (3, 124) and attempt >= 2:
+            break  # persistent real error: stop burning the budget
+        time.sleep(30)
+    # final attempt in-process, CPU fallback allowed (honest platform field)
+    print("bench supervisor budget exhausted; final in-process attempt "
+          "(CPU fallback allowed)", file=sys.stderr)
+    main(child=True)
+    return 0
+
+
+def main(child: bool = False):
     from egonn_tpu.utils.tunnel import platform_or_cpu_fallback
 
     # a hung bench is worse than a slow one: probe the tunnel, fall back to
@@ -228,4 +283,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if (os.environ.get("EGONN_BENCH_CHILD")
+            or os.environ.get("EGONN_BENCH_NO_SUPERVISE")
+            or os.environ.get("EGONN_BENCH_REQUIRE_TPU")
+            or os.environ.get("EGONN_BENCH_NO_PROBE")):
+        # child attempts, A/B harnesses (which set REQUIRE_TPU and bound their
+        # own cells), and probe-less runs execute the measurement directly
+        main()
+    else:
+        sys.exit(supervise())
