@@ -38,7 +38,7 @@ def supervise() -> int:
     supervisor bounds each attempt (EGONN_BENCH_ATTEMPT_TIMEOUT, default
     600 s — first compile ~3-6 min; retries hit the persistent compile
     cache) and retries within a total budget (EGONN_BENCH_BUDGET, default
-    2700 s) before letting a final attempt fall back to CPU honestly.
+    1800 s) before letting a final attempt fall back to CPU honestly.
     Child attempts run with EGONN_BENCH_REQUIRE_TPU=1 so a CPU fallback
     aborts fast instead of burning ~20 min of CPU compiles.
     """
@@ -46,7 +46,7 @@ def supervise() -> int:
     import time
 
     attempt_timeout = float(os.environ.get("EGONN_BENCH_ATTEMPT_TIMEOUT", 600))
-    budget = float(os.environ.get("EGONN_BENCH_BUDGET", 2700))
+    budget = float(os.environ.get("EGONN_BENCH_BUDGET", 1800))
     t0 = time.monotonic()
     attempt = 0
     while time.monotonic() - t0 + attempt_timeout <= budget:
