@@ -26,7 +26,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+_SEED = [0]
+
+
 def _clouds(rng, b, n):
+    if os.environ.get("EGONN_TB_CLOUDS",
+                      os.environ.get("EGONN_BENCH_CLOUDS", "legacy")) == "lidar":
+        from egonn_tpu.data.lidar_sim import lidar_scan_clouds
+
+        _SEED[0] += 1
+        return lidar_scan_clouds(b, n, seed=_SEED[0])
     th = rng.uniform(0, 2 * np.pi, (b, n))
     rad = np.abs(rng.normal(25, 18, (b, n))).clip(2, 80)
     z = rng.uniform(-1, 10, (b, n))
