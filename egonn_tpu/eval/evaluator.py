@@ -183,13 +183,6 @@ class Evaluator:
         self._calibrated = True
         if os.environ.get("EGONN_AUTO_CALIB", "1") == "0":
             return
-        from egonn_tpu.sparse import banded
-
-        if not _banded_active() or banded.FALLBACK:
-            return
-        from egonn_tpu.sparse.calibrate import auto_calibrate_cached
-
-        spec, quantizer = self.built.pyramid_spec, self.built.quantizer
 
         def load_sample():
             sample_set = self.eval_set.map_set or self.eval_set.query_set
@@ -204,10 +197,46 @@ class Evaluator:
                                                self.num_points)
             return clouds, mask
 
+        sample_cache: list = []
+
+        def cached_sample():
+            if not sample_cache:
+                sample_cache.append(load_sample())
+            return sample_cache[0]
+
+        # optional capacity fit FIRST (EGONN_AUTO_CAPCALIB=1): replaces the
+        # spec's capacity table with one fitted to this dataset's occupancy
+        # (sparse/calibrate.py calibrate_capacities).  Capacities are compile
+        # shapes only — parameters are capacity-independent, so existing
+        # checkpoints remain loadable.  Band widths are then calibrated under
+        # the FITTED capacities.
+        if os.environ.get("EGONN_AUTO_CAPCALIB", "0") == "1":
+            import dataclasses
+
+            from egonn_tpu.sparse.calibrate import calibrate_capacities
+
+            clouds, mask = cached_sample()
+            fitted = calibrate_capacities(clouds, mask, self.built.quantizer,
+                                          self.built.pyramid_spec)
+            if fitted != self.built.pyramid_spec.capacities:
+                print(f"capacity calibration: "
+                      f"{self.built.pyramid_spec.capacities} -> {fitted}")
+                self.built = dataclasses.replace(
+                    self.built,
+                    pyramid_spec=dataclasses.replace(
+                        self.built.pyramid_spec, capacities=fitted))
+
+        from egonn_tpu.sparse import banded
+
+        if not _banded_active() or banded.FALLBACK:
+            return
+        from egonn_tpu.sparse.calibrate import auto_calibrate_cached
+
+        spec, quantizer = self.built.pyramid_spec, self.built.quantizer
         auto_calibrate_cached(
             ["eval", self.dataset_root, self.dataset_type, self.num_points,
              list(spec.capacities)],
-            load_sample, quantizer, spec)
+            cached_sample, quantizer, spec)
 
     def compute_embeddings(self, variables, eval_subset, with_local=False,
                            n_k: int = 256):
