@@ -119,58 +119,14 @@ def compact_ranked(vals: jnp.ndarray, keep: jnp.ndarray, capacity: int,
     return v, p, total
 
 
-def compact_by_rank_lookup(vals: jnp.ndarray, keep: jnp.ndarray, capacity: int,
-                           payload: jnp.ndarray | None = None,
-                           bucket: int = 128):
-    """Order-preserving compaction of kept entries by INVERSE RANK LOOKUP:
-    output slot i holds the (i+1)-th kept element, found by a bucketed
-    searchsorted over the (nondecreasing) cumulative keep-count — two dense
-    compare passes + one row gather, replacing compact_ranked's log2(n)
-    conditional-shift stages (the shift loop measured ~1.2 ms at 8x65k on
-    v5e; pass-count bound, not bandwidth bound).
-
-    Same contract as compact_ranked: (vals (capacity,) MAXKEY-padded past the
-    kept count, payload or None zero-padded, total_kept).  EGONN_COMPACT=shift
-    restores the shift loop (A/B switch in sorted_unique)."""
-    n = vals.shape[0]
-    rank = jnp.cumsum(keep.astype(jnp.int32))              # 1-based at keeps
-    pad = (-n) % bucket
-    if pad:
-        rank_p = jnp.concatenate(
-            [rank, jnp.full((pad,), n + 1, jnp.int32)])
-    else:
-        rank_p = rank
-    nb = rank_p.shape[0] // bucket
-    table = rank_p.reshape(nb, bucket)
-    boundaries = table[:, 0]                                # (nb,) nondecreasing
-    q = jnp.arange(1, capacity + 1, dtype=jnp.int32)        # target ranks
-    # bucket of the first position with rank >= q: last boundary < q
-    cnt = jnp.sum(boundaries[None, :] < q[:, None], axis=1).astype(jnp.int32)
-    b = jnp.clip(cnt - 1, 0, nb - 1)
-    rows = table[b]                                         # (capacity, bucket)
-    within = jnp.sum(rows < q[:, None], axis=1).astype(jnp.int32)
-    pos = jnp.minimum(b * bucket + within, n - 1)
-    total = rank[-1]
-    have = q <= jnp.minimum(total, capacity)
-    out_v = jnp.where(have, vals[pos], MAXKEY)
-    out_p = None if payload is None else jnp.where(have, payload[pos], 0)
-    return out_v, out_p, total
-
-
-import os as _os
-
-# Compaction engine: "lookup" = compact_by_rank_lookup (bucketed searchsorted
-# + row gather), "shift" = compact_ranked (LSB-first conditional shifts).
-# Bit-identical outputs (tests/test_packing.py); A/B'd on chip round 5.
-COMPACT_MODE = _os.environ.get("EGONN_COMPACT", "shift")
-
-
+# (Round-5 measured dead end, deleted: compaction by INVERSE RANK LOOKUP — a
+# bucketed searchsorted over the cumulative keep-count + one row gather.
+# Bit-identical, but the bucketed count is O(capacity * n/bucket) dense
+# compares (~10x the shift loop's element ops): bench 365 vs 458 clouds/s.
+# The LSB-first shift loop below stays the compaction engine.)
 def compact_kept(vals: jnp.ndarray, keep: jnp.ndarray, capacity: int,
                  payload: jnp.ndarray | None = None):
-    """Order-preserving compaction of kept entries to the front — dispatches
-    between the two bit-identical engines (COMPACT_MODE)."""
-    if COMPACT_MODE == "lookup":
-        return compact_by_rank_lookup(vals, keep, capacity, payload)
+    """Order-preserving compaction of kept entries to the front."""
     return compact_ranked(vals, keep, capacity, payload)
 
 

@@ -89,31 +89,6 @@ def test_sorted_unique_first_point_per_voxel():
         np.asarray(res.coords_t)[:, np.asarray(res.mask)], coords[:, want_rows])
 
 
-def test_compact_by_rank_lookup_matches_shift():
-    """The bucketed-searchsorted compaction must be BIT-identical to the
-    rank-shift loop on random keep patterns, incl. overflow and payloads."""
-    from egonn_tpu.sparse.packing import compact_by_rank_lookup, compact_ranked
-
-    rng = np.random.default_rng(0)
-    for n, capacity, p_keep in [(65536, 16384, 0.25), (65536, 16384, 0.5),
-                                (4096, 1024, 0.9), (4096, 4096, 0.1),
-                                (512, 256, 0.0), (512, 256, 1.0),
-                                (1000, 256, 0.3)]:  # non-multiple-of-bucket n
-        vals = jnp.asarray(np.sort(rng.integers(0, 2**30, n)).astype(np.int32))
-        keep = jnp.asarray(rng.random(n) < p_keep)
-        payload = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
-        a_v, a_p, a_t = compact_ranked(vals, keep, capacity, payload)
-        b_v, b_p, b_t = compact_by_rank_lookup(vals, keep, capacity, payload)
-        np.testing.assert_array_equal(np.asarray(a_v), np.asarray(b_v),
-                                      err_msg=f"{n},{capacity},{p_keep}")
-        np.testing.assert_array_equal(np.asarray(a_p), np.asarray(b_p))
-        assert int(a_t) == int(b_t)
-        # payload-less form
-        c_v, c_p, c_t = compact_by_rank_lookup(vals, keep, capacity)
-        np.testing.assert_array_equal(np.asarray(a_v), np.asarray(c_v))
-        assert c_p is None and int(c_t) == int(a_t)
-
-
 def test_upmap_lookup_engine_matches_sort():
     """EGONN_UPMAP=lookup (up_parent via sorted-table lookup, single-operand
     halved-key sort, no inversion sort) must produce a BIT-identical pyramid
