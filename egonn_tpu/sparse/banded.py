@@ -61,14 +61,15 @@ DEFAULT_TILE = 128
 # One-hot build micro-variant for the conv kernel (the dominant VPU cost).
 # EGONN_OH_CENTER: the CENTER offset of an odd self kernel always gathers the
 # voxel itself (kmap_self[center, c] == c), so its gather is a masked slice of
-# the tile's own rows — no one-hot, no first MXU dot.  Default pending the
-# round-5 on-chip A/B; bit-exactness vs the one-hot form is pinned by
-# tests/test_banded.py.
+# the tile's own rows — no one-hot, no first MXU dot.  Strictly less work;
+# round-5 on-chip A/B measured never-slower (legacy workload 410.2/412.6 vs
+# base 389.3-411.4; lidar 459.0 vs 457.9) — default ON.  Bit-exactness vs
+# the one-hot form is pinned by tests/test_banded.py.
 # (A bf16 one-hot COMPARE was tried round 5 and is impossible on this target:
 # Mosaic rejects arith.cmpf on the packed vector<8x128x2xbf16> — "Target does
 # not support this comparison" — i.e. the v5e VPU has no native 16-bit vector
 # compare, so the one-hot build is irreducibly 32-bit-lane bound.)
-OH_CENTER = os.environ.get("EGONN_OH_CENTER", "0") == "1"
+OH_CENTER = os.environ.get("EGONN_OH_CENTER", "1") == "1"
 
 # ---------------------------------------------------------------------------
 # Band-width calibration (sparse/calibrate.py).  The hardcoded widths above
