@@ -146,19 +146,21 @@ def main(child: bool = False):
     clouds = jnp.asarray(gen_clouds(0))
     mask = jnp.ones((b, num_points), bool)
 
-    # Optional capacity calibration (EGONN_BENCH_CAPCALIB=1): fit the
+    # Capacity calibration (EGONN_BENCH_CAPCALIB, default ON — on-chip A/B
+    # r5: 480.7 vs 457.9/459.0 clouds/s): fit the
     # per-level capacity table to the benched distribution (the deploy flow's
     # calibrate-once-per-dataset step, sparse/calibrate.py) — oversized deep
     # levels shrink, so every capacity-proportional cost (dedup sorts, zrun
     # tables, elementwise passes) shrinks with them; undersized ones grow
     # (capacity_ok below then holds by construction).
-    if os.environ.get("EGONN_BENCH_CAPCALIB", "0") == "1":
+    if os.environ.get("EGONN_BENCH_CAPCALIB", "1") == "1":
         import dataclasses
 
         from egonn_tpu.sparse.calibrate import calibrate_capacities
 
+        margin = float(os.environ.get("EGONN_CAPCALIB_MARGIN", "1.15"))
         fitted = calibrate_capacities(np.asarray(clouds), np.asarray(mask),
-                                      quantizer, spec)
+                                      quantizer, spec, margin=margin)
         print(f"capacity calibration: {spec.capacities} -> {fitted}",
               file=sys.stderr)
         spec = dataclasses.replace(spec, capacities=fitted)
