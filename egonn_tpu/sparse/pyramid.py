@@ -250,47 +250,34 @@ def _dedup_chain_single(coords0_t: jnp.ndarray, mask0: jnp.ndarray, n_unique0,
     up_parents = []  # element i: (cap_i,) parent position of fine level i in
     # level i+1's compacted table (sentinel cap_{i+1})
 
-    import os as _os
-
-    # Up-map engine: "lookup" derives up_parent by a sorted-table lookup of
-    # the halved fine keys in the COMPACTED coarse table (up_parent[j] ==
-    # searchsorted position, sentinel when the parent was truncated or the
-    # row is padding) — the halved-key sort then needs no fine-position
-    # payload (single-operand, ~2x cheaper) and the inversion second sort
-    # disappears entirely.  "sort" is the dual-sort + inversion-sort engine.
-    # Bit-identical (tests/test_packing.py dedup goldens); on-chip A/B r5.
-    up_engine = _os.environ.get("EGONN_UPMAP", "sort")
-
+    # (Round-5 measured dead end, deleted: an "up-map by lookup" engine that
+    # derived up_parent by a sorted-table lookup of the halved fine keys in
+    # the compacted coarse table — single-operand sort, no inversion sort,
+    # bit-identical.  Bench 440.2 vs 479-485 clouds/s: the bucketed lookup's
+    # dense boundary counts + row gathers for C_{l-1} queries per level cost
+    # more than the dual sort + inversion sort they replaced.)
     for l in range(1, spec.num_levels + 1):
         down_keys = halve_keys(keys[l - 1], spec.pack_at(l - 1))
         cap_l = spec.capacities[l]
         n = down_keys.shape[0]
+        fine_pos = jnp.arange(n, dtype=jnp.int32)
         # NOTE: halving does NOT preserve sortedness (collapsing a higher field
         # makes the comparison fall through to lower fields), so a re-sort is
-        # needed.
-        if up_engine == "lookup":
-            sk = jax.lax.sort(down_keys)
-        else:
-            fine_pos = jnp.arange(n, dtype=jnp.int32)
-            sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1,
-                                  is_stable=False)
+        # needed — dual-operand to carry the fine position for the up map.
+        sk, sp = jax.lax.sort((down_keys, fine_pos), num_keys=1,
+                              is_stable=False)
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sk[:-1]])
         is_first = (sk != prev) & (sk != MAXKEY)
-        # compaction engine dispatch (packing.compact_kept): rank-shift loop
-        # or bucketed searchsorted lookup, bit-identical
         out_keys, _, _ = compact_kept(sk, is_first, cap_l)
-        if up_engine == "lookup":
-            up_par = lookup_sorted(out_keys, down_keys, sentinel=cap_l)
-        else:
-            rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
-            pr = jnp.where((sk != MAXKEY) & (rank < cap_l), rank, cap_l
-                           ).astype(jnp.int32)
-            # back to fine order: invert the sort permutation with a second
-            # sort keyed by sp.  (A unique-indices scatter was A/B'd on chip
-            # and LOST, 402 vs 430 clouds/s, round-4 matrix — XLA's scatter
-            # lowering beats the sort only at much smaller sizes.  An in-VMEM
-            # Pallas bitonic sorter for these sorts also LOST, 411 vs 430.)
-            _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
+        rank = jnp.cumsum(is_first) - 1  # unique ordinal == parent position
+        pr = jnp.where((sk != MAXKEY) & (rank < cap_l), rank, cap_l
+                       ).astype(jnp.int32)
+        # back to fine order: invert the sort permutation with a second sort
+        # keyed by sp.  (A unique-indices scatter was A/B'd on chip and LOST,
+        # 402 vs 430 clouds/s, round-4 matrix — XLA's scatter lowering beats
+        # the sort only at much smaller sizes.  An in-VMEM Pallas bitonic
+        # sorter for these sorts also LOST, 411 vs 430.)
+        _, up_par = jax.lax.sort((sp, pr), num_keys=1, is_stable=False)
         up_parents.append(up_par)
         out_mask = out_keys != MAXKEY
         pack_l = spec.pack_at(l)

@@ -88,40 +88,3 @@ def test_sorted_unique_first_point_per_voxel():
     np.testing.assert_array_equal(
         np.asarray(res.coords_t)[:, np.asarray(res.mask)], coords[:, want_rows])
 
-
-def test_upmap_lookup_engine_matches_sort():
-    """EGONN_UPMAP=lookup (up_parent via sorted-table lookup, single-operand
-    halved-key sort, no inversion sort) must produce a BIT-identical pyramid
-    to the dual-sort engine."""
-    import jax
-    from egonn_tpu.ops.quantization import PolarQuantizer
-    from egonn_tpu.sparse import pyramid as pyr_mod
-    from egonn_tpu.sparse.pyramid import build_pyramid, egonn_pyramid_spec
-
-    q = PolarQuantizer([1.0, 0.3, 0.2])
-    spec = egonn_pyramid_spec(cap0=1024, num_levels=4)
-    rng = np.random.default_rng(2)
-    n = 4096
-    th = rng.uniform(0, 2 * np.pi, (2, n))
-    rad = rng.uniform(2, 60, (2, n))
-    z = rng.uniform(-1, 8, (2, n))
-    clouds = jnp.asarray(
-        np.stack([rad * np.cos(th), rad * np.sin(th), z], -1).astype(np.float32))
-    mask = jnp.ones((2, n), bool)
-    res = jax.vmap(lambda pc, mm: q.quantize(
-        pc, mm, spec.capacities[0], need_index=False))(clouds, mask)
-
-    import os
-    pyrs = {}
-    for engine in ("sort", "lookup"):
-        os.environ["EGONN_UPMAP"] = engine
-        try:
-            pyrs[engine] = jax.jit(lambda c, m, k: build_pyramid(
-                c, m, spec, keys0=k))(res.coords_t, res.mask, res.keys)
-        finally:
-            os.environ.pop("EGONN_UPMAP", None)
-    a = jax.tree_util.tree_leaves(pyrs["sort"])
-    b = jax.tree_util.tree_leaves(pyrs["lookup"])
-    assert len(a) == len(b)
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
